@@ -1,0 +1,143 @@
+"""Top-level AlignSDF model: encoder + MANO branch + object pose + SDF decoder.
+
+Parity with reference networks/model.py:353-414 (ModelOneEncoderOneDecoder).
+One flax module so a single params pytree holds the whole system; the forward
+is pure and fully jittable (all branch switches are Python-static config).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from alignsdf_tpu.config import Specs
+from alignsdf_tpu.mano.layer import ManoModel, load_mano_model
+from alignsdf_tpu.models.decoder import make_decoder
+from alignsdf_tpu.models.manobranch import ManoBranch
+from alignsdf_tpu.models.resnet import make_encoder
+from alignsdf_tpu.ops.embeddings import kinematic_embedding, nerf_embed_for_point_feat
+from alignsdf_tpu.ops.geometry import get_obj_trans, pixel_alignment, soft_argmax
+
+
+class AlignSDF(nn.Module):
+    """The full single-image hand+object SDF reconstruction model."""
+
+    specs: Specs
+    mano_model: Optional[ManoModel] = None
+
+    def setup(self):
+        specs = self.specs
+        self.encoder = make_encoder(
+            specs.backbone,
+            latent_size=specs.latent_size,
+            mano_features=specs.mano_branch,
+            use_headnet=specs.use_headnet,
+            use_pixel_align=specs.pixel_align,
+        )
+        if specs.mano_branch:
+            assert self.mano_model is not None, "mano_branch needs a ManoModel"
+            self.mano_decoder = ManoBranch(
+                mano_model=self.mano_model,
+                ncomps=specs.pose_feat_size,
+                absolute_depth=specs.use_depth,
+                object_pose=specs.use_obj_pose,
+                use_obj_rot=specs.use_obj_rot,
+            )
+        self.decoder = make_decoder(
+            specs.model_type,
+            specs.latent_size,
+            specs.point_feat_size,
+            specs.encode_style,
+            specs.network_specs,
+            specs.classifier_branch,
+        )
+        if specs.use_obj_pose:
+            # 1x1 conv: 256ch -> 64 depth-bins heatmap (reference networks/model.py:376-377)
+            self.volume_layer = nn.Conv(
+                64, (1, 1), use_bias=True, name="volume_layer"
+            )
+
+    def __call__(
+        self,
+        image: jax.Array,                      # (B, H, W, 3) normalized NHWC
+        xyz: jax.Array,                        # (B*N, 3) half-scaled query points
+        cond_input: Dict[str, jax.Array],      # cam_intr / mano_root / rest_obj_corners
+        *,
+        train: bool = False,
+        dropout_rng: Optional[jax.Array] = None,
+    ):
+        specs = self.specs
+        sdf_feat, mano_feat, aux_feat = self.encoder(image, train=train)
+
+        mano_results = None
+        if specs.mano_branch:
+            mano_results = self.mano_decoder(mano_feat, cond_input)
+
+        obj_results = None
+        if specs.use_obj_pose and mano_results is not None:
+            heatmaps = self.volume_layer(aux_feat)            # (B, 64, 64, 64) NHWC
+            heatmaps = heatmaps.transpose(0, 3, 1, 2)          # -> NCHW depth-first
+            obj_center_2d = soft_argmax(heatmaps)
+            obj_trans, obj_center = get_obj_trans(
+                obj_center_2d,
+                mano_results["center3d"],
+                cond_input["cam_intr"],
+                mano_results["obj_rot"] if specs.use_obj_rot else None,
+            )
+            # transform rest-pose corners (reference networks/model.py:391-397)
+            corners = cond_input["rest_obj_corners"]           # (B, 8, 3)
+            obj_corners = (
+                jnp.einsum("bij,bnj->bni", obj_trans[:, :3, :3], corners)
+                + obj_trans[:, None, :3, 3]
+            )
+            if not train:
+                obj_corners = obj_corners + mano_results["center3d"]
+            obj_results = {
+                "obj_center": obj_center,
+                "obj_corners": obj_corners,
+                "obj_trans": obj_trans,
+            }
+
+        if specs.pixel_align:
+            latent = pixel_alignment(
+                aux_feat.transpose(0, 3, 1, 2),  # NCHW for the sampler
+                xyz,
+                cond_input["cam_intr"],
+                mano_results["joints"][:, 0:1],
+                specs.image_size[0],
+                specs.sdf_scale_factor,
+            )
+        else:
+            n = xyz.shape[0] // sdf_feat.shape[0]
+            latent = jnp.repeat(sdf_feat, n, axis=0)
+
+        if specs.point_feat_size > 3:
+            if mano_results is not None and specs.encode_style != "nerf":
+                xyz_embed = kinematic_embedding(
+                    xyz,
+                    xyz.shape[0] // image.shape[0],
+                    specs.point_feat_size,
+                    specs.sdf_scale_factor,
+                    specs.encode_style,
+                    rot_center=mano_results["rot_center"],
+                    global_trans=mano_results["global_trans"],
+                    obj_trans=obj_results["obj_trans"] if obj_results else None,
+                )
+            else:
+                xyz_embed = nerf_embed_for_point_feat(xyz, specs.point_feat_size)
+        else:
+            xyz_embed = xyz
+
+        decoder_inputs = jnp.concatenate([latent, xyz_embed], axis=1)
+        sdf_hand, sdf_obj, pred_class = self.decoder(
+            decoder_inputs, train=train, dropout_rng=dropout_rng
+        )
+        return sdf_hand, sdf_obj, pred_class, mano_results, obj_results
+
+
+def build_model(specs: Specs) -> AlignSDF:
+    mano_model = load_mano_model(side="right", ncomps=specs.pose_feat_size) if specs.mano_branch else None
+    return AlignSDF(specs=specs, mano_model=mano_model)

@@ -1,0 +1,259 @@
+"""ResNet image encoder + HeadNet (flax linen, NHWC, TPU-native).
+
+Architecture parity with the reference encoder (reference networks/resnet.py:
+99-255, networks/model.py:33-76): resnet18/34/50/101/152 with a three-way
+output head:
+
+  * ``sdf_feat``  — global-average-pooled layer4 -> fc(latent_size)
+  * ``mano_feat`` — global-average-pooled layer4 (512*expansion)
+  * ``aux_feat``  — HeadNet: 3 x (ConvTranspose2d(k4,s2,p1) + BN + ReLU)
+                    upsampling 8x8x512 -> 64x64x256
+
+TPU-first notes:
+  - internal layout is NHWC (torch-format weights are converted on import);
+  - BatchNorm under ``jit`` over a data-sharded mesh computes *global* batch
+    statistics (GSPMD inserts the cross-replica reductions), which exactly
+    reproduces the reference's SyncBatchNorm (reference train.py:350,369)
+    with zero extra code;
+  - running stats live in the ``batch_stats`` collection (momentum 0.1,
+    matching torch), reduced across hosts at epoch end by the trainer.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class TorchBatchNorm(nn.Module):
+    """BatchNorm2d with torch semantics (momentum=0.1, eps=1e-5).
+
+    In train mode uses biased batch variance for normalization and stores
+    *unbiased* variance into the running stats, exactly like torch.
+    """
+
+    momentum: float = 0.1
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        features = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (features,))
+        bias = self.param("bias", nn.initializers.zeros, (features,))
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((features,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((features,), jnp.float32)
+        )
+
+        if train:
+            reduce_axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(x, axis=reduce_axes)
+            var = jnp.mean(jnp.square(x - mean), axis=reduce_axes)
+            n = np.prod([x.shape[a] for a in reduce_axes])
+            unbiased = var * (n / max(n - 1, 1))
+            if not self.is_initializing():
+                ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
+                ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        inv = jax.lax.rsqrt(var + self.epsilon)
+        return (x - mean) * inv * scale + bias
+
+
+def _conv(features: int, kernel: int, stride: int = 1, padding: int = 0,
+          name: Optional[str] = None) -> nn.Conv:
+    return nn.Conv(
+        features,
+        (kernel, kernel),
+        strides=(stride, stride),
+        padding=((padding, padding), (padding, padding)),
+        use_bias=False,
+        kernel_init=nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal"),
+        name=name,
+    )
+
+
+class TorchConvTranspose(nn.Module):
+    """ConvTranspose2d(k=4, s=2, p=1, bias=False) with exact torch semantics,
+    implemented as an input-dilated convolution with a flipped kernel.
+
+    Kernel stored as (kH, kW, I, O); torch weight (I, O, kH, kW) transposes to
+    this in torch_import.conv_transpose_params.
+    """
+
+    features: int
+    kernel_size: int = 4
+    stride: int = 2
+    padding: int = 1
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_features = x.shape[-1]
+        k = self.kernel_size
+        fan_in = in_features * k * k
+        bound = 1.0 / np.sqrt(fan_in)
+        kernel = self.param(
+            "kernel",
+            lambda key, shape: jax.random.uniform(key, shape, jnp.float32, -bound, bound),
+            (k, k, in_features, self.features),
+        )
+        # transposed conv = conv with lhs_dilation=s, per-side pad k-1-p,
+        # spatially flipped kernel
+        flipped = kernel[::-1, ::-1]
+        pad = k - 1 - self.padding
+        return jax.lax.conv_general_dilated(
+            x,
+            flipped,
+            window_strides=(1, 1),
+            padding=((pad, pad), (pad, pad)),
+            lhs_dilation=(self.stride, self.stride),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+
+class BasicBlock(nn.Module):
+    """reference networks/resnet.py:26-55"""
+
+    features: int
+    stride: int = 1
+    downsample: bool = False
+    expansion: int = 1
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        residual = x
+        out = _conv(self.features, 3, self.stride, 1, name="conv1")(x)
+        out = TorchBatchNorm(name="bn1")(out, train)
+        out = nn.relu(out)
+        out = _conv(self.features, 3, 1, 1, name="conv2")(out)
+        out = TorchBatchNorm(name="bn2")(out, train)
+        if self.downsample:
+            residual = _conv(self.features * self.expansion, 1, self.stride, 0,
+                             name="downsample_conv")(x)
+            residual = TorchBatchNorm(name="downsample_bn")(residual, train)
+        return nn.relu(out + residual)
+
+
+class Bottleneck(nn.Module):
+    """reference networks/resnet.py:58-97"""
+
+    features: int
+    stride: int = 1
+    downsample: bool = False
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        residual = x
+        out = _conv(self.features, 1, 1, 0, name="conv1")(x)
+        out = TorchBatchNorm(name="bn1")(out, train)
+        out = nn.relu(out)
+        out = _conv(self.features, 3, self.stride, 1, name="conv2")(out)
+        out = TorchBatchNorm(name="bn2")(out, train)
+        out = nn.relu(out)
+        out = _conv(self.features * self.expansion, 1, 1, 0, name="conv3")(out)
+        out = TorchBatchNorm(name="bn3")(out, train)
+        if self.downsample:
+            residual = _conv(self.features * self.expansion, 1, self.stride, 0,
+                             name="downsample_conv")(x)
+            residual = TorchBatchNorm(name="downsample_bn")(residual, train)
+        return nn.relu(out + residual)
+
+
+class HeadNet(nn.Module):
+    """3 x (deconv k4 s2 p1 -> BN -> ReLU): 8x8x512 -> 64x64x256
+    (reference networks/model.py:33-51)."""
+
+    out_features: int = 256
+    num_layers: int = 3
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        for i in range(self.num_layers):
+            x = TorchConvTranspose(self.out_features, name=f"deconv{i}")(x)
+            x = TorchBatchNorm(name=f"bn{i}")(x, train)
+            x = nn.relu(x)
+        return x
+
+
+class ResNetEncoder(nn.Module):
+    """ResNet trunk + three-way head (reference networks/resnet.py:99-194,
+    networks/model.py:54-76).  Input NHWC float32."""
+
+    block: str                     # 'basic' | 'bottleneck'
+    layers: Tuple[int, ...]        # blocks per stage
+    latent_size: int = 256
+    mano_features: bool = False
+    use_headnet: bool = False
+    use_pixel_align: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False):
+        block_cls = BasicBlock if self.block == "basic" else Bottleneck
+        expansion = 1 if self.block == "basic" else 4
+
+        x = _conv(64, 7, 2, 3, name="conv1")(x)
+        x = TorchBatchNorm(name="bn1")(x, train)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        in_features = 64
+        for stage, (features, blocks) in enumerate(
+            zip((64, 128, 256, 512), self.layers)
+        ):
+            stride = 1 if stage == 0 else 2
+            for b in range(blocks):
+                s = stride if b == 0 else 1
+                needs_down = b == 0 and (s != 1 or in_features != features * expansion)
+                x = block_cls(
+                    features, s, downsample=needs_down,
+                    name=f"layer{stage + 1}_{b}",
+                )(x, train)
+                in_features = features * expansion
+
+        gap = x.mean(axis=(1, 2))  # (B, 512*expansion)
+
+        mano_feat = gap if self.mano_features else None
+
+        sdf_feat = None
+        if not (self.use_headnet and self.use_pixel_align):
+            from alignsdf_tpu.models.layers import TorchLinear
+
+            sdf_feat = TorchLinear(self.latent_size, name="fc")(gap)
+
+        aux_feat = None
+        if self.use_headnet:
+            aux_feat = HeadNet(name="aux_layer")(x, train)
+
+        return sdf_feat, mano_feat, aux_feat
+
+
+_ARCHS = {
+    "resnet18": ("basic", (2, 2, 2, 2)),
+    "resnet34": ("basic", (3, 4, 6, 3)),
+    "resnet50": ("bottleneck", (3, 4, 6, 3)),
+    "resnet101": ("bottleneck", (3, 4, 23, 3)),
+    "resnet152": ("bottleneck", (3, 8, 36, 3)),
+}
+
+
+def make_encoder(backbone: str, latent_size: int, mano_features: bool,
+                 use_headnet: bool, use_pixel_align: bool) -> ResNetEncoder:
+    """Factory matching reference networks/model.py:54-76."""
+    block, layers = _ARCHS[backbone]
+    return ResNetEncoder(
+        block=block,
+        layers=layers,
+        latent_size=latent_size,
+        mano_features=mano_features,
+        use_headnet=use_headnet,
+        use_pixel_align=use_pixel_align,
+    )

@@ -1,0 +1,154 @@
+"""Import the PyTorch reference (CPU) as a golden-value oracle for tests.
+
+The reference at /root/reference assumes CUDA plus several packages that are
+absent here (chumpy, trimesh, lmdb, skimage, torchvision, tqdm, sklearn).
+This module stubs those imports, no-ops ``.cuda()``, and replaces the
+chumpy-based MANO loader with our own pickle extraction so reference modules
+run unmodified on CPU.  Tests compare alignsdf_tpu outputs against them.
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+
+import numpy as np
+
+REFERENCE_ROOT = "/root/reference"
+
+_initialized = False
+
+
+def _stub_module(name: str, **attrs) -> types.ModuleType:
+    mod = sys.modules.get(name)
+    if mod is None:
+        mod = types.ModuleType(name)
+        sys.modules[name] = mod
+    for key, value in attrs.items():
+        setattr(mod, key, value)
+    # register as attribute of parent package
+    if "." in name:
+        parent_name, child = name.rsplit(".", 1)
+        parent = sys.modules.get(parent_name)
+        if parent is not None:
+            setattr(parent, child, mod)
+    return mod
+
+
+class _NumpyHolder:
+    """Mimics a chumpy array just enough for ManoLayer's loader accesses."""
+
+    def __init__(self, x):
+        self.r = np.asarray(x)
+
+    def toarray(self):
+        return self.r
+
+
+def _fake_ready_arguments(fname_or_dict, posekey4vposed="pose"):
+    """Replacement for reference mano/webuser/smpl_handpca_wrapper_HAND_only.py:22-67
+    returning only what ManoLayer.__init__ reads (reference manopth/manolayer.py:65-107)."""
+    from alignsdf_tpu.mano.convert import load_mano_pkl
+
+    raw = load_mano_pkl(fname_or_dict)
+    dd = {}
+    for key in ("v_template", "weights", "posedirs", "shapedirs", "betas"):
+        if key in raw:
+            dd[key] = _NumpyHolder(raw[key])
+    if "betas" not in dd:
+        dd["betas"] = _NumpyHolder(np.zeros(raw["shapedirs"].shape[-1]))
+    dd["J_regressor"] = _NumpyHolder(raw["J_regressor"])
+    dd["f"] = np.asarray(raw["f"] if "f" in raw else raw["faces"])
+    dd["hands_components"] = np.asarray(raw["hands_components"])
+    dd["hands_mean"] = np.asarray(raw["hands_mean"])
+    dd["kintree_table"] = np.asarray(raw["kintree_table"])
+    return dd
+
+
+def setup_reference() -> None:
+    """Make ``import manopth...``, ``import networks...``, ``import utils.utils``
+    etc. resolve to the reference implementation, runnable on CPU."""
+    global _initialized
+    if _initialized:
+        return
+    import torch
+
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+
+    # --- no-op CUDA so reference `.cuda()` calls run on CPU
+    torch.Tensor.cuda = lambda self, *a, **k: self  # type: ignore[assignment]
+    torch.nn.Module.cuda = lambda self, *a, **k: self  # type: ignore[assignment]
+
+    # --- stub unavailable third-party packages
+    _stub_module("trimesh", Trimesh=object, load=None)
+    _stub_module("trimesh.graph", split=None)
+    _stub_module("trimesh.sample", sample_surface=None)
+    _stub_module("trimesh.registration", icp=None)
+    _stub_module("lmdb", open=None)
+    _stub_module("skimage")
+    _stub_module("skimage.measure", marching_cubes_lewiner=None)
+    _stub_module("tqdm", tqdm=lambda x, **k: x)
+    _stub_module("sklearn")
+    _stub_module("sklearn.neighbors", KDTree=None)
+    _stub_module("plyfile", PlyData=object, PlyElement=object)
+
+    class _Compose:
+        def __init__(self, fns):
+            self.fns = fns
+
+        def __call__(self, x):
+            for fn in self.fns:
+                x = fn(x)
+            return x
+
+    class _ToTensor:
+        def __call__(self, pic):
+            arr = np.asarray(pic).astype(np.float32) / 255.0
+            return torch.from_numpy(arr.transpose(2, 0, 1))
+
+    class _Normalize:
+        def __init__(self, mean, std):
+            self.mean = torch.tensor(mean).view(-1, 1, 1)
+            self.std = torch.tensor(std).view(-1, 1, 1)
+
+        def __call__(self, t):
+            return (t - self.mean) / self.std
+
+    _stub_module(
+        "torchvision",
+        transforms=_stub_module(
+            "torchvision.transforms",
+            Compose=_Compose,
+            ToPILImage=lambda: (lambda x: x),
+            ToTensor=_ToTensor,
+            Normalize=_Normalize,
+        ),
+        models=_stub_module("torchvision.models"),
+    )
+
+    # --- replace the chumpy-based MANO loader before manopth imports it
+    _stub_module("mano")
+    _stub_module("mano.webuser")
+    _stub_module(
+        "mano.webuser.smpl_handpca_wrapper_HAND_only",
+        ready_arguments=_fake_ready_arguments,
+    )
+
+    _initialized = True
+
+
+def reference_mano_layer(ncomps: int = 15, center_idx: int = 0, side: str = "right",
+                         flat_hand_mean: bool = False, use_pca: bool = True):
+    """Build the reference ManoLayer on CPU (reference manopth/manolayer.py:13)."""
+    setup_reference()
+    from manopth.manolayer import ManoLayer
+
+    return ManoLayer(
+        ncomps=ncomps,
+        center_idx=center_idx,
+        side=side,
+        mano_root=f"{REFERENCE_ROOT}/mano",
+        use_pca=use_pca,
+        flat_hand_mean=flat_hand_mean,
+    )
