@@ -188,3 +188,66 @@ def convert_resnet_encoder(
         stats["aux_layer"] = head_stats
 
     return params, stats
+
+
+def convert_mano_branch(sd: Mapping[str, Any], sd_prefix: str = "",
+                        absolute_depth: bool = False,
+                        use_obj_rot: bool = False) -> Dict[str, Any]:
+    """Reference ManoBranch state_dict -> flax params for models.manobranch.ManoBranch
+    (reference networks/manobranch.py:58-111; Sequential indices: base_layer.0/.2
+    are the two Linears, shape_reg.0 the shape head)."""
+    params: Dict[str, Any] = {
+        "base0": linear_params(sd, f"{sd_prefix}base_layer.0"),
+        "base1": linear_params(sd, f"{sd_prefix}base_layer.2"),
+        "pose_reg": linear_params(sd, f"{sd_prefix}pose_reg"),
+        "shape_reg": linear_params(sd, f"{sd_prefix}shape_reg.0"),
+    }
+    if absolute_depth:
+        params["trans_branch"] = {
+            "hidden0": linear_params(sd, f"{sd_prefix}trans_branch.decoder.0"),
+            "final": linear_params(sd, f"{sd_prefix}trans_branch.final_layer"),
+        }
+    if use_obj_rot:
+        params["object_rot_branch"] = {
+            "hidden0": linear_params(sd, f"{sd_prefix}object_rot_branch.decoder.0"),
+            "final": linear_params(sd, f"{sd_prefix}object_rot_branch.final_layer"),
+        }
+    return params
+
+
+def convert_alignsdf(sd: Mapping[str, Any], specs,
+                     resnet_layers: Tuple[int, ...]) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Full reference ModelOneEncoderOneDecoder state_dict -> (params, batch_stats)
+    for models.alignsdf.AlignSDF.  Accepts checkpoints saved under DDP
+    ('module.' prefix is stripped)."""
+    if any(k.startswith("module.") for k in sd):
+        sd = {k[len("module."):] if k.startswith("module.") else k: v for k, v in sd.items()}
+
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    enc_params, enc_stats = convert_resnet_encoder(
+        sd, resnet_layers,
+        has_fc=not (specs.use_headnet and specs.pixel_align),
+        has_headnet=specs.use_headnet,
+        sd_prefix="encoder.",
+    )
+    params["encoder"] = enc_params
+    stats["encoder"] = enc_stats
+
+    if specs.model_type == "1encoder1decoder":
+        params["decoder"] = convert_combined_decoder(
+            sd, specs.network_specs, specs.classifier_branch, sd_prefix="decoder.")
+    else:
+        params["decoder"] = convert_separate_decoder(
+            sd, specs.network_specs, specs.classifier_branch, sd_prefix="decoder.")
+
+    if specs.mano_branch:
+        params["mano_decoder"] = convert_mano_branch(
+            sd, "mano_decoder.",
+            absolute_depth=specs.use_depth, use_obj_rot=specs.use_obj_rot)
+
+    if specs.use_obj_pose and "volume_layer.weight" in sd:
+        params["volume_layer"] = conv_params(sd, "volume_layer")
+
+    return params, stats

@@ -1,0 +1,341 @@
+"""Fused Pallas TPU kernel for the batched per-point SDF decoder.
+
+The hot op of the whole system: during 256^3 grid reconstruction, ~33.5M
+query points run through twin 5-layer 512-wide MLPs (reference
+utils/mesh.py:47-63 does this in a python loop of 2^18-point chunks).  This
+kernel keeps all decoder weights resident in VMEM and streams point blocks
+HBM -> VMEM -> MXU, fusing the full [linear -> (+input re-injection) -> ReLU]
+x L -> tanh chain of both branches into one pallas_call:
+
+  * weight-norm is materialized outside the kernel (one tiny XLA op per call)
+    so the kernel sees dense (in, out) matrices;
+  * the DeepSDF latent re-injection layer (reference networks/model.py:
+    165-166,310-311) is algebraically split:  [x, input] @ W  ==
+    x @ W_top + input @ W_bot  — no in-kernel concat, two MXU calls;
+  * all dims are zero-padded to (8, 128) tiles; padding is exact (zero rows/
+    cols and zero bias contribute nothing through matmul and ReLU);
+  * output block layout: col 0 = hand sdf, col 1 = obj sdf, cols 2..2+C =
+    classifier logits — one (BLK, 128) store per block.
+
+The same structure also serves CombinedDecoder (single trunk, 2 outputs).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, Dict, List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from alignsdf_tpu.config import NetworkSpecs, Specs
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+class BranchPlan(NamedTuple):
+    """Static structure of one MLP trunk (weights padded, injections split)."""
+
+    weights: Tuple[jax.Array, ...]      # layer i: (in_pad, out_pad)
+    inject_weights: Tuple[Optional[jax.Array], ...]  # (in0_pad, out_pad) or None
+    biases: Tuple[jax.Array, ...]       # (1, out_pad)
+    out_dim: int                        # true output dim (1 or 2)
+
+
+def _materialize_linear(p: Dict[str, jax.Array]) -> Tuple[jax.Array, jax.Array]:
+    if "v" in p:  # weight-norm parameterization
+        v, g = p["v"], p["g"]
+        w = v * (g[None, :] / jnp.linalg.norm(v, axis=0, keepdims=True))
+    else:
+        w = p["kernel"]
+    return w, p["bias"]
+
+
+def build_branch_plan(
+    branch_params: Dict[str, Any],
+    prefix: str,
+    in_dim: int,
+    specs: NetworkSpecs,
+    out_dim: int,
+    dtype=jnp.float32,
+) -> BranchPlan:
+    """Pad + split one trunk's weights for the kernel.
+
+    ``in_dim`` is the trunk's true input width (latent+embed per encode_style);
+    layer dims follow the decoder construction (reference networks/model.py:
+    216-247).
+    """
+    dims = (in_dim,) + specs.dims + (out_dim,)
+    n_layers = len(dims) - 1
+    in0_pad = _round_up(in_dim, 128)
+
+    weights: List[jax.Array] = []
+    inject_ws: List[Optional[jax.Array]] = []
+    biases: List[jax.Array] = []
+
+    cur_dim = in_dim
+    for layer in range(n_layers):
+        if layer + 1 in specs.latent_in:
+            layer_out = dims[layer + 1] - dims[0]
+        else:
+            layer_out = dims[layer + 1]
+        w, b = _materialize_linear(branch_params[f"{prefix}{layer}"])
+        w = w.astype(dtype)
+        b = b.astype(jnp.float32)
+        out_pad = _round_up(layer_out, 128)
+
+        if layer in specs.latent_in:
+            # torch layer input was [x (cur_dim), input (in_dim)]
+            w_x, w_in = w[:cur_dim], w[cur_dim:cur_dim + in_dim]
+            wx_pad = jnp.zeros((_round_up(cur_dim, 128), out_pad), dtype)
+            wx_pad = wx_pad.at[:cur_dim, :layer_out].set(w_x)
+            wi_pad = jnp.zeros((in0_pad, out_pad), dtype)
+            wi_pad = wi_pad.at[:in_dim, :layer_out].set(w_in)
+            weights.append(wx_pad)
+            inject_ws.append(wi_pad)
+        else:
+            w_pad = jnp.zeros((_round_up(cur_dim, 128), out_pad), dtype)
+            w_pad = w_pad.at[:cur_dim, :layer_out].set(w)
+            weights.append(w_pad)
+            inject_ws.append(None)
+
+        b_pad = jnp.zeros((1, out_pad), jnp.float32).at[0, :layer_out].set(b)
+        biases.append(b_pad)
+        cur_dim = layer_out
+
+    return BranchPlan(tuple(weights), tuple(inject_ws), tuple(biases), out_dim)
+
+
+def _branch_compute(x0, plan_weights, plan_inject, plan_biases, n_layers):
+    """Run one trunk inside the kernel. x0: (BLK, IN0_PAD) f32 in VMEM.
+    Returns (final tanh output, input of the last layer) — the latter feeds
+    the classifier head (reference networks/model.py:161-162,306-307)."""
+    x = x0
+    last_input = x0
+    for layer in range(n_layers):
+        if layer == n_layers - 1:
+            last_input = x
+        w = plan_weights[layer]
+        acc = jnp.dot(x, w[:], preferred_element_type=jnp.float32)
+        inj = plan_inject[layer]
+        if inj is not None:
+            acc = acc + jnp.dot(x0, inj[:], preferred_element_type=jnp.float32)
+        acc = acc + plan_biases[layer][:]
+        if layer < n_layers - 1:
+            x = jnp.maximum(acc, 0.0)
+        else:
+            x = jnp.tanh(acc)
+    return x, last_input
+
+
+def make_fused_decoder(
+    hand_plan: BranchPlan,
+    obj_plan: Optional[BranchPlan],
+    classifier: Optional[Tuple[jax.Array, jax.Array, int]] = None,
+    block: int = 1024,
+    combined: bool = False,
+    interpret: bool = False,
+):
+    """Build the fused decoder: f(x_hand (M, IN_H), x_obj (M, IN_O)) ->
+    (sdf_hand (M,1), sdf_obj (M,1), logits (M, C) | None).
+
+    For ``combined`` decoders pass the single trunk as ``hand_plan`` (its two
+    output columns are hand/obj sdf) and x_obj is ignored.
+
+    Inputs must be pre-padded to the plans' input widths (zero-fill).
+    """
+    n_hand = len(hand_plan.weights)
+    n_obj = len(obj_plan.weights) if obj_plan is not None else 0
+    num_class = classifier[2] if classifier is not None else 0
+
+    # flat operand list for pallas_call
+    def flatten_ops():
+        ops = []
+        for p in (hand_plan, obj_plan) if obj_plan is not None else (hand_plan,):
+            ops.extend(p.weights)
+            ops.extend(w for w in p.inject_weights if w is not None)
+            ops.extend(p.biases)
+        if classifier is not None:
+            ops.extend(classifier[:2])
+        return ops
+
+    def kernel(x_hand_ref, x_obj_ref, *op_refs):
+        out_ref = op_refs[-1]
+        refs = list(op_refs[:-1])
+
+        def take(n):
+            nonlocal refs
+            got, refs = refs[:n], refs[n:]
+            return got
+
+        def take_plan(plan, n_layers):
+            ws = take(n_layers)
+            inj_flat = take(sum(1 for w in plan.inject_weights if w is not None))
+            it = iter(inj_flat)
+            inj = [next(it) if w is not None else None for w in plan.inject_weights]
+            bs = take(n_layers)
+            return ws, inj, bs
+
+        h_ws, h_inj, h_bs = take_plan(hand_plan, n_hand)
+        x_h = x_hand_ref[:]
+        h_out, h_last_in = _branch_compute(x_h, h_ws, h_inj, h_bs, n_hand)
+
+        if obj_plan is not None:
+            o_ws, o_inj, o_bs = take_plan(obj_plan, n_obj)
+            o_out, _ = _branch_compute(x_obj_ref[:], o_ws, o_inj, o_bs, n_obj)
+
+        blk = x_h.shape[0]
+        out = jnp.zeros((blk, 128), jnp.float32)
+        if combined:
+            out = out.at[:, 0:2].set(h_out[:, 0:2])
+        else:
+            out = out.at[:, 0:1].set(h_out[:, 0:1])
+            out = out.at[:, 1:2].set(o_out[:, 0:1])
+
+        if classifier is not None:
+            cw_ref, cb_ref = take(2)
+            logits = (
+                jnp.dot(h_last_in, cw_ref[:], preferred_element_type=jnp.float32)
+                + cb_ref[:]
+            )
+            out = out.at[:, 2:2 + num_class].set(logits[:, :num_class])
+
+        out_ref[:] = out
+
+    in_h_pad = hand_plan.weights[0].shape[0]
+    in_o_pad = obj_plan.weights[0].shape[0] if obj_plan is not None else 128
+
+    def run(x_hand: jax.Array, x_obj: jax.Array):
+        m = x_hand.shape[0]
+        m_pad = _round_up(m, block)
+        if m_pad != m:
+            x_hand = jnp.pad(x_hand, ((0, m_pad - m), (0, 0)))
+            x_obj = jnp.pad(x_obj, ((0, m_pad - m), (0, 0)))
+        grid = (m_pad // block,)
+
+        ops = flatten_ops()
+        # weights/biases are small (~6 MB total): resident in VMEM, unblocked
+        op_specs = [
+            pl.BlockSpec(op.shape, partial(lambda nd, i: (0,) * nd, len(op.shape)),
+                         memory_space=pltpu.VMEM)
+            for op in ops
+        ]
+
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((block, in_h_pad), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block, in_o_pad), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                *op_specs,
+            ],
+            out_specs=pl.BlockSpec((block, 128), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((m_pad, 128), jnp.float32),
+            interpret=interpret,
+        )(x_hand, x_obj, *ops)
+
+        out = out[:m]
+        sdf_hand = out[:, 0:1]
+        sdf_obj = out[:, 1:2]
+        logits = out[:, 2:2 + num_class] if num_class else None
+        return sdf_hand, sdf_obj, logits
+
+    return run
+
+
+def pad_inputs(x: jax.Array, in_dim_pad: int) -> jax.Array:
+    """Zero-pad the feature axis to the kernel's padded input width."""
+    pad = in_dim_pad - x.shape[1]
+    return jnp.pad(x, ((0, 0), (0, pad))) if pad else x
+
+
+def separate_decoder_inputs(specs: Specs, latent_and_embed: jax.Array):
+    """Slice the concatenated [latent, embed] input into per-branch inputs
+    (reference networks/model.py:285-299)."""
+    ls, pfs = specs.latent_size, specs.point_feat_size
+    x = latent_and_embed
+    style = specs.encode_style
+    if style == "nerf":
+        return x, x
+    if style == "hand":
+        return x, x[:, : ls + 3]
+    if style == "obj":
+        return x[:, : ls + 3], x
+    if style == "both":
+        return x[:, :-3], jnp.concatenate([x[:, : ls + 3], x[:, -3:]], axis=1)
+    raise ValueError(style)
+
+
+def make_pallas_decode_fn(specs: Specs, decoder_params: Dict[str, Any],
+                          block: int = 1024, interpret: bool = False,
+                          dtype=jnp.float32):
+    """Build a decode_fn(ctx, inputs) for inference/grid.py backed by the
+    fused kernel, from a flax decoder params tree."""
+    ls, pfs = specs.latent_size, specs.point_feat_size
+    ns = specs.network_specs
+
+    if specs.model_type == "1encoder1decoder":
+        trunk = decoder_params["trunk"]
+        plan = build_branch_plan(trunk, "lin", ls + pfs, ns, 2, dtype)
+        classifier = None
+        if specs.classifier_branch:
+            cw, cb = _materialize_linear(trunk["classifier_head"])
+            c_pad = jnp.zeros((plan.weights[-1].shape[0], _round_up(ns.num_class, 128)), dtype)
+            classifier = (
+                c_pad.at[: cw.shape[0], : ns.num_class].set(cw.astype(dtype)),
+                jnp.zeros((1, _round_up(ns.num_class, 128)), jnp.float32)
+                .at[0, : ns.num_class].set(cb),
+                ns.num_class,
+            )
+        fused = make_fused_decoder(plan, None, classifier, block, combined=True,
+                                   interpret=interpret)
+        in_h_pad = plan.weights[0].shape[0]
+
+        def decode(ctx, inputs):
+            xh = pad_inputs(inputs, in_h_pad)
+            return fused(xh, xh)
+
+        return decode
+
+    # SeparateDecoder
+    style = specs.encode_style
+    if style == "nerf":
+        in_hand, in_obj = ls + pfs, ls + pfs
+    elif style == "hand":
+        in_hand, in_obj = ls + pfs, ls + 3
+    elif style == "obj":
+        in_hand, in_obj = ls + 3, ls + pfs
+    else:
+        in_hand, in_obj = ls + pfs - 3, ls + 6
+
+    hand_plan = build_branch_plan(decoder_params["hand"], "linh", in_hand, ns, 1, dtype)
+    obj_plan = build_branch_plan(decoder_params["obj"], "lino", in_obj, ns, 1, dtype)
+    classifier = None
+    if specs.classifier_branch and "classifier_head" in decoder_params["hand"]:
+        cw, cb = _materialize_linear(decoder_params["hand"]["classifier_head"])
+        c_pad = jnp.zeros((hand_plan.weights[-1].shape[0], _round_up(ns.num_class, 128)), dtype)
+        classifier = (
+            c_pad.at[: cw.shape[0], : ns.num_class].set(cw.astype(dtype)),
+            jnp.zeros((1, _round_up(ns.num_class, 128)), jnp.float32)
+            .at[0, : ns.num_class].set(cb),
+            ns.num_class,
+        )
+    fused = make_fused_decoder(hand_plan, obj_plan, classifier, block,
+                               combined=False, interpret=interpret)
+    in_h_pad = hand_plan.weights[0].shape[0]
+    in_o_pad = obj_plan.weights[0].shape[0]
+
+    def decode(ctx, inputs):
+        xh, xo = separate_decoder_inputs(specs, inputs)
+        return fused(pad_inputs(xh, in_h_pad), pad_inputs(xo, in_o_pad))
+
+    return decode

@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Benchmark: SDF queries/s/chip during dense grid evaluation (the
+BASELINE.json headline metric).
+
+Workload: the canonical AlignSDF decoder config (SeparateDecoder, twin
+5-layer 512-wide MLPs, latent 256, nerf/pfs-3 inputs — reference
+experiments/obman/30k_1e2d_mlp5.json) evaluated over the full two-pass
+coarse-to-fine N^3 grid (reference utils/mesh.py:17-123), via the fused
+Pallas decoder kernel with weights resident in VMEM.
+
+Prints ONE json line:
+  {"metric": "sdf_queries_per_sec_per_chip", "value": ..., "unit": "queries/s",
+   "vs_baseline": ...}
+
+``vs_baseline`` is measured throughput divided by the PyTorch reference's
+estimated A100 grid-eval throughput.  The reference repo publishes no numbers
+(BASELINE.md); we use 2.5e6 queries/s — an estimate for the reference's
+chunked (2^18) torch pipeline with per-chunk host sync on A100 — so
+vs_baseline >= 10 is the BASELINE.json target.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from alignsdf_tpu.config import NetworkSpecs, Specs
+from alignsdf_tpu.inference.grid import make_grid_evaluator
+from alignsdf_tpu.models.decoder import SeparateDecoder
+from alignsdf_tpu.ops.decoder_kernel import make_pallas_decode_fn
+
+A100_TORCH_REF_QPS = 2.5e6  # estimated reference throughput (see module docstring)
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    use_pallas = "--no-pallas" not in sys.argv
+
+    specs = Specs(
+        model_type="1encoder2decoder",
+        encode_style="nerf",
+        point_feat_size=3,
+        latent_size=256,
+        sdf_scale_factor=7.018621123357809,
+        network_specs=NetworkSpecs(),
+    )
+
+    dec = SeparateDecoder(
+        specs.latent_size, specs.point_feat_size, specs.encode_style,
+        specs.network_specs, use_classifier=False,
+    )
+    dummy = jnp.zeros((8, specs.latent_size + specs.point_feat_size))
+    variables = dec.init(jax.random.PRNGKey(0), dummy)
+
+    if use_pallas:
+        decode = make_pallas_decode_fn(specs, variables["params"], block=2048)
+
+        def decode_fn(ctx, inputs):
+            return decode(ctx, inputs)
+    else:
+        def decode_fn(ctx, inputs):
+            h, o, _ = dec.apply({"params": ctx["params"]}, inputs)
+            return h, o, None
+
+    latent = jax.random.normal(jax.random.PRNGKey(1), (1, specs.latent_size))
+    ctx = {"params": variables["params"], "latent": latent}
+
+    evaluate = make_grid_evaluator(
+        decode_fn, specs, n, chunk=1 << 18, mesh=None, two_pass=True
+    )
+
+    # compile + warmup
+    t0 = time.time()
+    result = jax.block_until_ready(evaluate(ctx))
+    compile_s = time.time() - t0
+
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        result = jax.block_until_ready(evaluate(ctx))
+        times.append(time.time() - t0)
+    best = min(times)
+
+    queries = 2 * n ** 3  # two passes
+    qps = queries / best
+    print(
+        json.dumps(
+            {
+                "metric": "sdf_queries_per_sec_per_chip",
+                "value": round(qps),
+                "unit": "queries/s",
+                "vs_baseline": round(qps / A100_TORCH_REF_QPS, 2),
+            }
+        )
+    )
+    print(
+        f"# n={n} pallas={use_pallas} best={best:.3f}s compile={compile_s:.1f}s "
+        f"device={jax.devices()[0].device_kind}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -12,6 +12,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon sitecustomize pins jax_platforms to "axon,cpu" regardless of the
+# env var; override through the config API so tests really run on CPU.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
 sys.path.insert(0, os.path.dirname(__file__))

@@ -152,3 +152,62 @@ def reference_mano_layer(ncomps: int = 15, center_idx: int = 0, side: str = "rig
         use_pca=use_pca,
         flat_hand_mean=flat_hand_mean,
     )
+
+
+def reference_full_model(specs_dict):
+    """Build the reference ModelOneEncoderOneDecoder on CPU with random init
+    (reference train.py:333-369 composition; pretrained download replaced by
+    random init since the environment has no network)."""
+    import os
+
+    setup_reference()
+    import torch
+    import networks.resnet as ref_resnet
+    import networks.model as arch
+    import networks.manobranch as mano
+
+    cwd = os.getcwd()
+    os.chdir(REFERENCE_ROOT)
+    try:
+        backbone = specs_dict.get("Backbone", "resnet18")
+        latent_size = specs_dict.get("LatentSize", 256)
+        mano_branch = specs_dict.get("ManoBranch", False)
+        obj_pose = specs_dict.get("ObjectPoseBranch", False) and mano_branch
+        use_headnet = obj_pose or specs_dict.get("Render", False) or specs_dict.get("PixelAlign", False)
+        pixel_align = specs_dict.get("PixelAlign", False)
+
+        ctor = {"resnet18": ref_resnet.resnet18, "resnet34": ref_resnet.resnet34,
+                "resnet50": ref_resnet.resnet50}[backbone]
+        encoder = ctor(pretrained=False, mano_features=mano_branch,
+                       use_headnet=use_headnet, use_pixel_align=pixel_align)
+        if pixel_align:
+            encoder.fc = torch.nn.AvgPool2d(7, stride=1)
+        else:
+            encoder.fc = torch.nn.Linear(encoder.fc.in_features, latent_size)
+        if use_headnet:
+            encoder.aux_layer = arch.HeadNet()
+
+        if mano_branch:
+            mano_decoder = mano.ManoBranch(
+                ncomps=specs_dict.get("PoseFeatSize", 15),
+                absolute_depth=specs_dict.get("DepthBranch", False) and mano_branch,
+                object_pose=obj_pose,
+                use_obj_rot=obj_pose and specs_dict.get("ObjCornerWeight", 0.2) > 0,
+                mano_root="mano",
+            )
+        else:
+            mano_decoder = None
+
+        net_specs = specs_dict["NetworkSpecs"]
+        dec_cls = (arch.CombinedDecoder
+                   if specs_dict.get("ModelType") == "1encoder1decoder"
+                   else arch.SeparateDecoder)
+        decoder = dec_cls(
+            latent_size, specs_dict.get("PointFeatSize", 3),
+            specs_dict.get("EncodeStyle", "nerf"), **net_specs,
+            use_classifier=specs_dict.get("ClassifierBranch", False),
+        )
+        model = arch.ModelOneEncoderOneDecoder(encoder, decoder, mano_decoder, specs_dict)
+        return model.eval()
+    finally:
+        os.chdir(cwd)

@@ -1,0 +1,51 @@
+"""Fused Pallas decoder kernel vs the XLA flax decoder (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from alignsdf_tpu.config import NetworkSpecs, Specs
+from alignsdf_tpu.models.decoder import CombinedDecoder, SeparateDecoder
+from alignsdf_tpu.ops.decoder_kernel import make_pallas_decode_fn
+
+
+def _specs(model_type, encode_style, pfs, use_classifier=False):
+    return Specs(
+        model_type=model_type,
+        encode_style=encode_style,
+        point_feat_size=pfs,
+        classifier_branch=use_classifier,
+        network_specs=NetworkSpecs(),
+    )
+
+
+@pytest.mark.parametrize("encode_style,pfs", [("nerf", 3), ("hand", 51), ("both", 9)])
+def test_separate_kernel_matches_flax(encode_style, pfs):
+    specs = _specs("1encoder2decoder", encode_style, pfs)
+    dec = SeparateDecoder(specs.latent_size, pfs, encode_style, specs.network_specs,
+                          use_classifier=False)
+    x = np.random.RandomState(0).randn(300, specs.latent_size + pfs).astype(np.float32)
+    variables = dec.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    ref_h, ref_o, _ = dec.apply(variables, jnp.asarray(x))
+
+    decode = make_pallas_decode_fn(specs, variables["params"], block=128, interpret=True)
+    k_h, k_o, logits = decode({}, jnp.asarray(x))
+    assert logits is None
+    np.testing.assert_allclose(np.asarray(k_h), np.asarray(ref_h), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(k_o), np.asarray(ref_o), atol=1e-5)
+
+
+def test_combined_kernel_matches_flax_with_classifier():
+    specs = _specs("1encoder1decoder", "nerf", 3, use_classifier=True)
+    dec = CombinedDecoder(specs.latent_size, 3, "nerf", specs.network_specs,
+                          use_classifier=True)
+    x = np.random.RandomState(1).randn(257, specs.latent_size + 3).astype(np.float32)
+    variables = dec.init(jax.random.PRNGKey(1), jnp.asarray(x))
+    ref_h, ref_o, ref_cls = dec.apply(variables, jnp.asarray(x))
+
+    decode = make_pallas_decode_fn(specs, variables["params"], block=128, interpret=True)
+    k_h, k_o, k_cls = decode({}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(k_h), np.asarray(ref_h), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(k_o), np.asarray(ref_o), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(k_cls), np.asarray(ref_cls), atol=1e-4)

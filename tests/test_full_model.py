@@ -1,0 +1,150 @@
+"""End-to-end golden test: the full AlignSDF model vs the reference
+ModelOneEncoderOneDecoder with converted weights."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from alignsdf_tpu.config import specs_from_dict
+from alignsdf_tpu.models.alignsdf import AlignSDF, build_model
+from alignsdf_tpu.models.torch_import import convert_alignsdf
+
+import oracle
+
+torch = pytest.importorskip("torch")
+
+NETWORK_SPECS = {
+    "dims": [512, 512, 512, 512],
+    "dropout": [0, 1, 2, 3],
+    "dropout_prob": 0.2,
+    "norm_layers": [0, 1, 2, 3],
+    "latent_in": [2],
+    "num_class": 6,
+    "xyz_in_all": False,
+    "use_tanh": False,
+    "latent_dropout": False,
+    "weight_norm": True,
+}
+
+
+def _specs_dict(**over):
+    base = {
+        "Dataset": "obman",
+        "ModelType": "1encoder2decoder",
+        "ImageSize": [256, 256],
+        "SdfScaleFactor": 7.018621123357809,
+        "LatentSize": 256,
+        "PointFeatSize": 3,
+        "EncodeStyle": "nerf",
+        "ScaleAug": False,
+        "PoseFeatSize": 15,
+        "NumEpochs": 1600,
+        "Backbone": "resnet18",
+        "Freeze": "none",
+        "PixelAlign": False,
+        "SamplesPerScene": 8,
+        "ClampingDistance": 0.05,
+        "HandBranch": True,
+        "ObjectBranch": True,
+        "ObjectPoseBranch": False,
+        "ManoBranch": False,
+        "DepthBranch": False,
+        "Render": False,
+        "ClassifierBranch": False,
+        "ObjCenterWeight": 1,
+        "ObjCornerWeight": 0.2,
+        "NetworkSpecs": NETWORK_SPECS,
+    }
+    base.update(over)
+    return base
+
+
+def _run_pair(specs_dict, seed=0):
+    torch.manual_seed(seed)
+    ref_model = oracle.reference_full_model(specs_dict)
+    specs = specs_from_dict(specs_dict)
+
+    batch, n = 2, specs_dict["SamplesPerScene"]
+    rng = np.random.RandomState(seed)
+    img = rng.rand(batch, 256, 256, 3).astype(np.float32)
+    xyz = (rng.randn(batch * n, 3) * 0.5).astype(np.float32)
+    cam = np.tile(
+        np.concatenate(
+            [np.array([[480.0, 0, 128], [0, 480.0, 128], [0, 0, 1]], np.float32),
+             np.zeros((3, 1), np.float32)], axis=1,
+        )[None],
+        (batch, 1, 1),
+    )
+    mano_root = (rng.randn(batch, 3) * 0.05 + np.array([0, 0, 0.6])).astype(np.float32)
+    rest_corners = (rng.randn(batch, 8, 3) * 0.05).astype(np.float32)
+
+    cond_t = {
+        "cam_intr": torch.from_numpy(cam.copy()),
+        "mano_root": torch.from_numpy(mano_root.copy()),
+        "rest_obj_corners": torch.from_numpy(rest_corners.copy()),
+        "epoch": 1,
+    }
+    with torch.no_grad():
+        t_out = ref_model(
+            torch.from_numpy(img.transpose(0, 3, 1, 2).copy()),
+            torch.from_numpy(xyz.copy()),
+            cond_t,
+        )
+
+    model = build_model(specs)
+    params, batch_stats = convert_alignsdf(
+        ref_model.state_dict(), specs, (2, 2, 2, 2)
+    )
+    variables = {"params": params, "batch_stats": batch_stats}
+    j_out = model.apply(
+        variables,
+        jnp.asarray(img),
+        jnp.asarray(xyz),
+        {
+            "cam_intr": jnp.asarray(cam),
+            "mano_root": jnp.asarray(mano_root),
+            "rest_obj_corners": jnp.asarray(rest_corners),
+        },
+        train=False,
+    )
+    return t_out, j_out
+
+
+def test_baseline_model_matches_reference():
+    t_out, j_out = _run_pair(_specs_dict())
+    t_hand, t_obj, _, t_mano, t_objres = t_out
+    j_hand, j_obj, _, j_mano, j_objres = j_out
+    np.testing.assert_allclose(np.asarray(j_hand), t_hand.numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(j_obj), t_obj.numpy(), atol=2e-5)
+    assert t_mano is None and j_mano is None
+    assert t_objres is None and j_objres is None
+
+
+def test_full_alignsdf_matches_reference():
+    # NOTE: ClassifierBranch stays False here: the reference SeparateDecoder
+    # crashes with use_classifier=True (reference networks/model.py:258 reads
+    # the undefined self.num_layers).  Classifier parity is covered by the
+    # CombinedDecoder tests; our SeparateDecoder supports it as an extension.
+    specs_dict = _specs_dict(
+        ManoBranch=True, ObjectPoseBranch=True, EncodeStyle="both",
+        PointFeatSize=9,
+    )
+    t_out, j_out = _run_pair(specs_dict, seed=1)
+    t_hand, t_obj, _, t_mano, t_objres = t_out
+    j_hand, j_obj, _, j_mano, j_objres = j_out
+
+    np.testing.assert_allclose(
+        np.asarray(j_mano["joints"]), t_mano["joints"].numpy(), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(j_mano["global_trans"]), t_mano["global_trans"].numpy(), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(j_objres["obj_trans"]), t_objres["obj_trans"].numpy(), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(j_objres["obj_corners"]), t_objres["obj_corners"].numpy(), atol=1e-4
+    )
+    np.testing.assert_allclose(np.asarray(j_hand), t_hand.numpy(), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(j_obj), t_obj.numpy(), atol=5e-5)
