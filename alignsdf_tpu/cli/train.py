@@ -1,0 +1,167 @@
+"""Training driver CLI — reference train.py:201-714 rebuilt TPU-native.
+
+Usage:
+    python -m alignsdf_tpu.cli.train -e experiments/obman/30k_1e2d_mlp5.json \
+        [--mano --obj_pose --encode both ...reference override flags...]
+
+Differences from the reference by design:
+  * one process per HOST (not per chip): jax.distributed.initialize + a global
+    1-D data mesh replace torch.distributed/NCCL (reference train.py:220-228);
+  * a single jitted train step handles DP gradient psum and global-batch
+    SyncBatchNorm via GSPMD (reference train.py:350,398,583);
+  * orbax checkpoints under the reference's workspace layout;
+  * metrics to JSONL (+TensorBoard if available) on host 0.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import logging
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from alignsdf_tpu import config as cfg
+from alignsdf_tpu.data.dataset import SDFDataset, to_train_batch
+from alignsdf_tpu.data.loader import DataLoader
+from alignsdf_tpu.models.alignsdf import build_model
+from alignsdf_tpu.parallel.mesh import make_mesh, maybe_initialize_distributed
+from alignsdf_tpu.training import checkpoints as ckpt
+from alignsdf_tpu.training.train_state import make_optimizer
+from alignsdf_tpu.training.train_step import init_train_state, make_train_step
+
+logger = logging.getLogger("alignsdf_tpu.train")
+
+
+def batch_shardings(mesh):
+    """Leading-axis data sharding for every batch field."""
+    data = NamedSharding(mesh, P("data"))
+    fields = ("image", "xyz", "sdf_gt_hand", "sdf_gt_obj", "labels", "cam_intr",
+              "mano_root", "rest_obj_corners", "hand_joints_3d", "obj_center",
+              "obj_corners")
+    return {f: data for f in fields}
+
+
+def main(argv: Optional[list] = None) -> None:
+    parser = argparse.ArgumentParser(description="AlignSDF-TPU training")
+    parser.add_argument("-e", dest="cfg", required=True, help="experiment spec json")
+    parser.add_argument("--continue", dest="continue_from", default=None)
+    parser.add_argument("--data_root", default=None)
+    parser.add_argument("--output_root", default="outputs")
+    parser.add_argument("--smoke", action="store_true",
+                        help="2 steps on synthetic data; no checkpoints")
+    cfg.add_train_args(parser)
+    args = parser.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO,
+                        format="AlignSDF-TPU - %(levelname)s - %(message)s")
+
+    with open(args.cfg) as f:
+        specs = cfg.specs_from_dict(json.load(f))
+    specs = cfg.apply_overrides(specs, args)
+
+    maybe_initialize_distributed()
+    mesh = make_mesh()
+    n_dev = len(jax.devices())
+    logger.info("devices: %d, mesh: %s", n_dev, mesh)
+
+    if specs.random_seed is not None:
+        np.random.seed(specs.random_seed)
+
+    model = build_model(specs)
+    optimizer = make_optimizer(specs)
+    rng = jax.random.PRNGKey(specs.random_seed or 0)
+    state = init_train_state(model, specs, rng, optimizer)
+
+    experiment_dir = os.path.join(args.output_root, specs.experiment_name())
+    if jax.process_index() == 0 and not args.smoke:
+        os.makedirs(experiment_dir, exist_ok=True)
+        with open(os.path.join(experiment_dir, "specs.json"), "w") as f:
+            json.dump(cfg.specs_to_dict(specs), f, indent=2)
+
+    start_epoch = 1
+    if not args.smoke:
+        name = args.continue_from or (
+            "latest" if ckpt.checkpoint_exists(experiment_dir) else None
+        )
+        if name:
+            state, saved_epoch = ckpt.restore_checkpoint(experiment_dir, state, name)
+            start_epoch = saved_epoch + 1
+            logger.info("resumed from %s at epoch %d", name, saved_epoch)
+
+    train_step = make_train_step(model, specs, optimizer)
+    replicate = NamedSharding(mesh, P())
+    step_jit = jax.jit(
+        train_step,
+        in_shardings=(replicate, batch_shardings(mesh) | {}, replicate),
+        donate_argnums=(0,),
+    )
+    state = jax.device_put(state, replicate)
+
+    if args.smoke:
+        from alignsdf_tpu.data.synthetic import synthetic_train_batch
+
+        batch = synthetic_train_batch(specs, batch_size=max(2, n_dev))
+        for step in range(2):
+            state = state.replace(epoch=jnp.asarray(1, jnp.int32))
+            state, losses = step_jit(state, batch, jax.random.fold_in(rng, step))
+            logger.info("smoke step %d: loss=%.5f", step,
+                        float(jax.device_get(losses["total"])))
+        logger.info("smoke OK")
+        return
+
+    with open(specs.train_split) as f:
+        split = json.load(f)
+    dataset = SDFDataset(specs, split["train"], data_root=args.data_root)
+    loader = DataLoader(
+        dataset,
+        batch_size=specs.scenes_per_batch,
+        num_workers=specs.data_loader_threads,
+        shuffle=True,
+        drop_last=True,
+        num_shards=jax.process_count(),
+        shard=jax.process_index(),
+        to_batch=lambda stacked: to_train_batch(specs, stacked),
+        sharding=batch_shardings(mesh),
+    )
+
+    metrics_path = os.path.join(experiment_dir, "metrics.jsonl")
+    log_step = 0
+    for epoch in range(start_epoch, specs.num_epochs + 1):
+        loader.set_epoch(epoch)
+        state = state.replace(epoch=jnp.asarray(epoch, jnp.int32))
+        start = time.time()
+        for i, batch in enumerate(loader):
+            state, losses = step_jit(state, batch, jax.random.fold_in(rng, log_step))
+            log_step += 1
+            if jax.process_index() == 0 and log_step % specs.log_frequency_step == 0:
+                vals = {k: float(v) for k, v in jax.device_get(losses).items()}
+                logger.info(
+                    "epoch %d step %d: " + " ".join(
+                        f"{k}={v * 1000:.3f}e-3" for k, v in sorted(vals.items())
+                    ), epoch, log_step,
+                )
+                with open(metrics_path, "a") as f:
+                    f.write(json.dumps({"epoch": epoch, "step": log_step, **vals}) + "\n")
+        logger.info("epoch %d time: %.1fs", epoch, time.time() - start)
+
+        if epoch % specs.log_frequency == 0:
+            ckpt.save_checkpoint(experiment_dir, state, epoch, "latest")
+        if epoch in specs.additional_snapshots or (
+            specs.snapshot_frequency and epoch % specs.snapshot_frequency == 0
+        ):
+            ckpt.save_checkpoint(experiment_dir, state, epoch, str(epoch))
+
+    ckpt.save_checkpoint(experiment_dir, state, specs.num_epochs, "latest")
+    logger.info("training complete: %s", experiment_dir)
+
+
+if __name__ == "__main__":
+    main()

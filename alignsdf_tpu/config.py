@@ -359,3 +359,26 @@ def apply_overrides(specs: Specs, args: argparse.Namespace) -> Specs:
         )
 
     return dataclasses.replace(specs, **updates) if updates else specs
+
+
+def specs_to_dict(specs: Specs) -> Dict[str, Any]:
+    """Inverse of specs_from_dict: emit a reference-format (CamelCase) spec
+    dict, so our experiment dirs' specs.json stays interchangeable with the
+    reference's (reference train.py:297-300)."""
+    out: Dict[str, Any] = {}
+    for json_key, fname in _KEY_MAP.items():
+        value = getattr(specs, fname)
+        if isinstance(value, tuple):
+            value = list(value)
+        if value is not None:
+            out[json_key] = value
+    ns = specs.network_specs
+    out["NetworkSpecs"] = {
+        k: (list(getattr(ns, v)) if isinstance(getattr(ns, v), tuple) else getattr(ns, v))
+        for k, v in _NS_KEY_MAP.items()
+    }
+    out["LearningRateSchedule"] = [
+        {"Type": s.type, "Initial": s.initial, "Interval": s.interval, "Factor": s.factor}
+        for s in specs.lr_schedules
+    ]
+    return out

@@ -138,6 +138,60 @@ class AlignSDF(nn.Module):
         return sdf_hand, sdf_obj, pred_class, mano_results, obj_results
 
 
+    def encode_scene(self, image, cam_intr, mano_root, rest_obj_corners):
+        """Image -> (latent, mano_results, obj_results) for grid reconstruction
+        (reference utils/utils.py:575-625 decode_model_output, minus file IO)."""
+        specs = self.specs
+        sdf_feat, mano_feat, aux_feat = self.encoder(image, train=False)
+
+        cond_input = {"cam_intr": cam_intr, "mano_root": mano_root,
+                      "rest_obj_corners": rest_obj_corners}
+        mano_results = None
+        if specs.mano_branch:
+            mano_results = self.mano_decoder(mano_feat, cond_input)
+
+        obj_results = None
+        if specs.use_obj_pose and mano_results is not None:
+            heatmaps = self.volume_layer(aux_feat).transpose(0, 3, 1, 2)
+            obj_center_2d = soft_argmax(heatmaps)
+            obj_trans, obj_center = get_obj_trans(
+                obj_center_2d, mano_results["center3d"], cond_input["cam_intr"],
+                mano_results["obj_rot"] if specs.use_obj_rot else None,
+            )
+            corners = cond_input["rest_obj_corners"]
+            obj_corners = (
+                jnp.einsum("bij,bnj->bni", obj_trans[:, :3, :3], corners)
+                + obj_trans[:, None, :3, 3]
+            ) + mano_results["center3d"]
+            obj_results = {"obj_center": obj_center, "obj_corners": obj_corners,
+                           "obj_trans": obj_trans}
+
+        latent = aux_feat if specs.pixel_align else sdf_feat
+        return latent, mano_results, obj_results
+
+    def decode_points(self, decoder_inputs, *, train: bool = False,
+                      dropout_rng=None):
+        """Run only the SDF decoder on pre-assembled [latent, embed] rows."""
+        return self.decoder(decoder_inputs, train=train, dropout_rng=dropout_rng)
+
+
 def build_model(specs: Specs) -> AlignSDF:
     mano_model = load_mano_model(side="right", ncomps=specs.pose_feat_size) if specs.mano_branch else None
     return AlignSDF(specs=specs, mano_model=mano_model)
+
+
+def model_consts(model: AlignSDF) -> dict:
+    """The 'consts' variable collection for a model built by build_model —
+    lets converted-checkpoint loads skip a full init() (the collection layout
+    mirrors the module tree)."""
+    if model.mano_model is None:
+        return {}
+    return {"mano_decoder": {"mano_model": model.mano_model}}
+
+
+def full_variables(model: AlignSDF, params, batch_stats) -> dict:
+    variables = {"params": params, "batch_stats": batch_stats}
+    consts = model_consts(model)
+    if consts:
+        variables["consts"] = consts
+    return variables

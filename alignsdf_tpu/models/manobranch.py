@@ -53,6 +53,12 @@ class ManoBranch(nn.Module):
     def __call__(
         self, inp: jax.Array, cond_input: Dict[str, jax.Array]
     ) -> Dict[str, Any]:
+        # MANO constants live in the 'consts' collection so they are fed to the
+        # compiled program as arguments, not baked in as literals (large inline
+        # constants make axon-TPU compiles and dispatches pathologically slow).
+        mano_model = self.variable(
+            "consts", "mano_model", lambda: self.mano_model
+        ).value
         x = inp
         for i, width in enumerate(self.base_neurons[1:]):
             x = nn.relu(TorchLinear(width, name=f"base{i}")(x))
@@ -73,7 +79,7 @@ class ManoBranch(nn.Module):
         mano_pose = pose.reshape(pose.shape[0], 16, 3, 3) if not self.use_pca else pose
 
         out = mano_forward(
-            self.mano_model,
+            mano_model,
             mano_pose,
             betas=shape,
             use_pca=self.use_pca,

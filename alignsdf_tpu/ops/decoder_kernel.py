@@ -190,13 +190,15 @@ def make_fused_decoder(
             o_ws, o_inj, o_bs = take_plan(obj_plan, n_obj)
             o_out, _ = _branch_compute(x_obj_ref[:], o_ws, o_inj, o_bs, n_obj)
 
+        # Assemble the (BLK, 128) output without scatter (unsupported in
+        # Mosaic): select lanes via iota masks and lane-rolls.
         blk = x_h.shape[0]
-        out = jnp.zeros((blk, 128), jnp.float32)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (blk, 128), 1)
         if combined:
-            out = out.at[:, 0:2].set(h_out[:, 0:2])
+            out = jnp.where(lane < 2, h_out, 0.0)
         else:
-            out = out.at[:, 0:1].set(h_out[:, 0:1])
-            out = out.at[:, 1:2].set(o_out[:, 0:1])
+            out = jnp.where(lane == 0, h_out, 0.0)
+            out = out + jnp.where(lane == 1, pltpu.roll(o_out, shift=1, axis=1), 0.0)
 
         if classifier is not None:
             cw_ref, cb_ref = take(2)
@@ -204,7 +206,8 @@ def make_fused_decoder(
                 jnp.dot(h_last_in, cw_ref[:], preferred_element_type=jnp.float32)
                 + cb_ref[:]
             )
-            out = out.at[:, 2:2 + num_class].set(logits[:, :num_class])
+            shifted = pltpu.roll(logits, shift=2, axis=1)
+            out = out + jnp.where((lane >= 2) & (lane < 2 + num_class), shifted, 0.0)
 
         out_ref[:] = out
 
@@ -275,38 +278,49 @@ def separate_decoder_inputs(specs: Specs, latent_and_embed: jax.Array):
     raise ValueError(style)
 
 
-def make_pallas_decode_fn(specs: Specs, decoder_params: Dict[str, Any],
-                          block: int = 1024, interpret: bool = False,
-                          dtype=jnp.float32):
+def _classifier_pad(branch_params: Dict[str, Any], last_in_pad: int, ns,
+                    dtype) -> Tuple[jax.Array, jax.Array, int]:
+    cw, cb = _materialize_linear(branch_params["classifier_head"])
+    c_pad = jnp.zeros((last_in_pad, _round_up(ns.num_class, 128)), dtype)
+    return (
+        c_pad.at[: cw.shape[0], : ns.num_class].set(cw.astype(dtype)),
+        jnp.zeros((1, _round_up(ns.num_class, 128)), jnp.float32)
+        .at[0, : ns.num_class].set(cb),
+        ns.num_class,
+    )
+
+
+def make_pallas_decode_fn(specs: Specs, block: int = 512,
+                          interpret: bool = False, dtype=jnp.float32):
     """Build a decode_fn(ctx, inputs) for inference/grid.py backed by the
-    fused kernel, from a flax decoder params tree."""
+    fused kernel.
+
+    The decoder's flax params are read from ``ctx["decoder_params"]`` at trace
+    time, so the weights enter the compiled program as *arguments* — never as
+    inline constants (large literals make axon-TPU compiles/dispatches
+    pathologically slow; see tests/conftest note).  Plan construction
+    (weight-norm materialization, padding, injection splitting) is a handful
+    of cheap XLA ops fused into the surrounding program.
+    """
     ls, pfs = specs.latent_size, specs.point_feat_size
     ns = specs.network_specs
 
     if specs.model_type == "1encoder1decoder":
-        trunk = decoder_params["trunk"]
-        plan = build_branch_plan(trunk, "lin", ls + pfs, ns, 2, dtype)
-        classifier = None
-        if specs.classifier_branch:
-            cw, cb = _materialize_linear(trunk["classifier_head"])
-            c_pad = jnp.zeros((plan.weights[-1].shape[0], _round_up(ns.num_class, 128)), dtype)
-            classifier = (
-                c_pad.at[: cw.shape[0], : ns.num_class].set(cw.astype(dtype)),
-                jnp.zeros((1, _round_up(ns.num_class, 128)), jnp.float32)
-                .at[0, : ns.num_class].set(cb),
-                ns.num_class,
-            )
-        fused = make_fused_decoder(plan, None, classifier, block, combined=True,
-                                   interpret=interpret)
-        in_h_pad = plan.weights[0].shape[0]
 
         def decode(ctx, inputs):
-            xh = pad_inputs(inputs, in_h_pad)
+            trunk = ctx["decoder_params"]["trunk"]
+            plan = build_branch_plan(trunk, "lin", ls + pfs, ns, 2, dtype)
+            classifier = (
+                _classifier_pad(trunk, plan.weights[-1].shape[0], ns, dtype)
+                if specs.classifier_branch else None
+            )
+            fused = make_fused_decoder(plan, None, classifier, block,
+                                       combined=True, interpret=interpret)
+            xh = pad_inputs(inputs, plan.weights[0].shape[0])
             return fused(xh, xh)
 
         return decode
 
-    # SeparateDecoder
     style = specs.encode_style
     if style == "nerf":
         in_hand, in_obj = ls + pfs, ls + pfs
@@ -317,25 +331,20 @@ def make_pallas_decode_fn(specs: Specs, decoder_params: Dict[str, Any],
     else:
         in_hand, in_obj = ls + pfs - 3, ls + 6
 
-    hand_plan = build_branch_plan(decoder_params["hand"], "linh", in_hand, ns, 1, dtype)
-    obj_plan = build_branch_plan(decoder_params["obj"], "lino", in_obj, ns, 1, dtype)
-    classifier = None
-    if specs.classifier_branch and "classifier_head" in decoder_params["hand"]:
-        cw, cb = _materialize_linear(decoder_params["hand"]["classifier_head"])
-        c_pad = jnp.zeros((hand_plan.weights[-1].shape[0], _round_up(ns.num_class, 128)), dtype)
-        classifier = (
-            c_pad.at[: cw.shape[0], : ns.num_class].set(cw.astype(dtype)),
-            jnp.zeros((1, _round_up(ns.num_class, 128)), jnp.float32)
-            .at[0, : ns.num_class].set(cb),
-            ns.num_class,
-        )
-    fused = make_fused_decoder(hand_plan, obj_plan, classifier, block,
-                               combined=False, interpret=interpret)
-    in_h_pad = hand_plan.weights[0].shape[0]
-    in_o_pad = obj_plan.weights[0].shape[0]
-
     def decode(ctx, inputs):
+        dp = ctx["decoder_params"]
+        hand_plan = build_branch_plan(dp["hand"], "linh", in_hand, ns, 1, dtype)
+        obj_plan = build_branch_plan(dp["obj"], "lino", in_obj, ns, 1, dtype)
+        classifier = (
+            _classifier_pad(dp["hand"], hand_plan.weights[-1].shape[0], ns, dtype)
+            if specs.classifier_branch and "classifier_head" in dp["hand"] else None
+        )
+        fused = make_fused_decoder(hand_plan, obj_plan, classifier, block,
+                                   combined=False, interpret=interpret)
         xh, xo = separate_decoder_inputs(specs, inputs)
-        return fused(pad_inputs(xh, in_h_pad), pad_inputs(xo, in_o_pad))
+        return fused(
+            pad_inputs(xh, hand_plan.weights[0].shape[0]),
+            pad_inputs(xo, obj_plan.weights[0].shape[0]),
+        )
 
     return decode

@@ -18,6 +18,7 @@ class TrainState:
 
     params: Any
     batch_stats: Any
+    consts: Any       # non-trainable constants (e.g. MANO model tensors)
     opt_state: Any
     epoch: jax.Array  # int32 scalar — drives LR schedule + additional-loss gate
 

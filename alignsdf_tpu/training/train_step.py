@@ -67,8 +67,11 @@ def make_train_step(model: AlignSDF, specs: Specs, optimizer: optax.GradientTran
         loss_batch["mask_obj"] = mask_obj
 
         def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            if state.consts:
+                variables["consts"] = state.consts
             outputs, mutated = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
+                variables,
                 batch["image"],
                 batch["xyz"],
                 {
@@ -119,10 +122,12 @@ def init_train_state(
     variables = model.init(rng, dummy_img, dummy_xyz, dummy_cond)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
+    consts = variables.get("consts", {})
     opt_state = optimizer.init(params)
     return TrainState(
         params=params,
         batch_stats=batch_stats,
+        consts=consts,
         opt_state=opt_state,
         epoch=jnp.asarray(1, jnp.int32),
     )

@@ -56,17 +56,15 @@ def main():
     variables = dec.init(jax.random.PRNGKey(0), dummy)
 
     if use_pallas:
-        decode = make_pallas_decode_fn(specs, variables["params"], block=2048)
-
-        def decode_fn(ctx, inputs):
-            return decode(ctx, inputs)
+        decode_fn = make_pallas_decode_fn(specs, block=512)
     else:
         def decode_fn(ctx, inputs):
             h, o, _ = dec.apply({"params": ctx["params"]}, inputs)
             return h, o, None
 
     latent = jax.random.normal(jax.random.PRNGKey(1), (1, specs.latent_size))
-    ctx = {"params": variables["params"], "latent": latent}
+    ctx = {"params": variables["params"],
+           "decoder_params": variables["params"], "latent": latent}
 
     evaluate = make_grid_evaluator(
         decode_fn, specs, n, chunk=1 << 18, mesh=None, two_pass=True

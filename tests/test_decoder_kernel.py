@@ -29,8 +29,8 @@ def test_separate_kernel_matches_flax(encode_style, pfs):
     variables = dec.init(jax.random.PRNGKey(0), jnp.asarray(x))
     ref_h, ref_o, _ = dec.apply(variables, jnp.asarray(x))
 
-    decode = make_pallas_decode_fn(specs, variables["params"], block=128, interpret=True)
-    k_h, k_o, logits = decode({}, jnp.asarray(x))
+    decode = make_pallas_decode_fn(specs, block=128, interpret=True)
+    k_h, k_o, logits = decode({"decoder_params": variables["params"]}, jnp.asarray(x))
     assert logits is None
     np.testing.assert_allclose(np.asarray(k_h), np.asarray(ref_h), atol=1e-5)
     np.testing.assert_allclose(np.asarray(k_o), np.asarray(ref_o), atol=1e-5)
@@ -44,8 +44,8 @@ def test_combined_kernel_matches_flax_with_classifier():
     variables = dec.init(jax.random.PRNGKey(1), jnp.asarray(x))
     ref_h, ref_o, ref_cls = dec.apply(variables, jnp.asarray(x))
 
-    decode = make_pallas_decode_fn(specs, variables["params"], block=128, interpret=True)
-    k_h, k_o, k_cls = decode({}, jnp.asarray(x))
+    decode = make_pallas_decode_fn(specs, block=128, interpret=True)
+    k_h, k_o, k_cls = decode({"decoder_params": variables["params"]}, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(k_h), np.asarray(ref_h), atol=1e-5)
     np.testing.assert_allclose(np.asarray(k_o), np.asarray(ref_o), atol=1e-5)
     np.testing.assert_allclose(np.asarray(k_cls), np.asarray(ref_cls), atol=1e-4)

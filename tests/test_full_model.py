@@ -7,7 +7,7 @@ import jax
 import jax.numpy as jnp
 
 from alignsdf_tpu.config import specs_from_dict
-from alignsdf_tpu.models.alignsdf import AlignSDF, build_model
+from alignsdf_tpu.models.alignsdf import AlignSDF, build_model, full_variables
 from alignsdf_tpu.models.torch_import import convert_alignsdf
 
 import oracle
@@ -96,7 +96,7 @@ def _run_pair(specs_dict, seed=0):
     params, batch_stats = convert_alignsdf(
         ref_model.state_dict(), specs, (2, 2, 2, 2)
     )
-    variables = {"params": params, "batch_stats": batch_stats}
+    variables = full_variables(model, params, batch_stats)
     j_out = model.apply(
         variables,
         jnp.asarray(img),
