@@ -62,6 +62,60 @@ def _edge_global_id(ci: np.ndarray, cj: np.ndarray, ck: np.ndarray,
     return ((oi * ny + oj) * nz + ok) * 3 + axis
 
 
+_native_mc = None
+
+
+def _load_native():
+    global _native_mc
+    if _native_mc is not None:
+        return _native_mc if _native_mc is not False else None
+    import ctypes
+
+    from alignsdf_tpu.native import load_library
+
+    lib = load_library("marching_cubes")
+    if lib is None:
+        _native_mc = False
+        return None
+    lib.mc_extract.restype = ctypes.c_int
+    lib.mc_extract.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+        ctypes.c_float, ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.mc_fetch.argtypes = [ctypes.POINTER(ctypes.c_float),
+                             ctypes.POINTER(ctypes.c_int64)]
+    _native_mc = lib
+    return lib
+
+
+def marching_cubes_native(volume: np.ndarray, level: float,
+                          spacing: Tuple[float, float, float]):
+    """C++ path (csrc/mc) — ~10x faster than the numpy path at 256^3."""
+    import ctypes
+
+    lib = _load_native()
+    vol = np.ascontiguousarray(volume, np.float32)
+    nx, ny, nz = vol.shape
+    n_verts = ctypes.c_int64()
+    n_faces = ctypes.c_int64()
+    rc = lib.mc_extract(
+        vol.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        nx, ny, nz, ctypes.c_float(level),
+        ctypes.c_float(spacing[0]), ctypes.c_float(spacing[1]),
+        ctypes.c_float(spacing[2]),
+        ctypes.byref(n_verts), ctypes.byref(n_faces),
+    )
+    if rc != 0:
+        raise ValueError("no surface found at the given level")
+    verts = np.empty((n_verts.value, 3), np.float32)
+    faces = np.empty((n_faces.value, 3), np.int64)
+    lib.mc_fetch(verts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                 faces.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return verts, faces
+
+
 def marching_cubes(
     volume: np.ndarray,
     level: float = 0.0,
@@ -78,6 +132,9 @@ def marching_cubes(
     nx, ny, nz = vol.shape
     if min(nx, ny, nz) < 2:
         raise ValueError("volume must be at least 2^3")
+
+    if _load_native() is not None:
+        return marching_cubes_native(vol, level, spacing)
 
     # corner samples for each cell, shape (nx-1, ny-1, nz-1, 8)
     c = np.empty((nx - 1, ny - 1, nz - 1, 8), np.float32)

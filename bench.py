@@ -70,15 +70,25 @@ def main():
         decode_fn, specs, n, chunk=1 << 18, mesh=None, two_pass=True
     )
 
-    # compile + warmup
+    # Warm up the execution path: the axon tunnel's first real execution
+    # round-trip costs minutes; also block_until_ready does not synchronize
+    # on this backend, so all timings force a host fetch.
     t0 = time.time()
-    result = jax.block_until_ready(evaluate(ctx))
+    float(jnp.sum(jnp.ones((8, 128)) @ jnp.ones((128, 8))))
+    warm_s = time.time() - t0
+
+    t0 = time.time()
+    result = evaluate(ctx)
+    np.asarray(result.sdf_hand)
     compile_s = time.time() - t0
 
     times = []
-    for _ in range(3):
+    for it in range(3):
+        ctx_i = dict(ctx, latent=jax.random.normal(jax.random.PRNGKey(it), (1, specs.latent_size)))
         t0 = time.time()
-        result = jax.block_until_ready(evaluate(ctx))
+        result = evaluate(ctx_i)
+        np.asarray(result.sdf_hand)
+        np.asarray(result.sdf_obj)
         times.append(time.time() - t0)
     best = min(times)
 
@@ -96,7 +106,7 @@ def main():
     )
     print(
         f"# n={n} pallas={use_pallas} best={best:.3f}s compile={compile_s:.1f}s "
-        f"device={jax.devices()[0].device_kind}",
+        f"warmup={warm_s:.1f}s device={jax.devices()[0].device_kind}",
         file=sys.stderr,
     )
 
