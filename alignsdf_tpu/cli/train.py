@@ -20,6 +20,9 @@ import dataclasses
 import json
 import logging
 import os
+import signal
+import socket
+import sys
 import time
 from typing import Optional
 
@@ -49,6 +52,22 @@ def batch_shardings(mesh):
     return {f: data for f in fields}
 
 
+def install_slurm_requeue_handler() -> None:
+    """SIGUSR1 -> scontrol requeue from process 0 (reference train.py:30-47);
+    training then resumes from the latest checkpoint on restart."""
+
+    def handler(signum, frame):
+        logger.warning("signal %s on %s", signum, socket.gethostname())
+        if int(os.environ.get("SLURM_PROCID", "0")) == 0:
+            job = os.environ.get("SLURM_JOB_ID")
+            logger.warning("requeuing job %s", job)
+            os.system(f"scontrol requeue {job}")
+        sys.exit(-1)
+
+    signal.signal(signal.SIGUSR1, handler)
+    logger.warning("SLURM requeue handler installed")
+
+
 def main(argv: Optional[list] = None) -> None:
     parser = argparse.ArgumentParser(description="AlignSDF-TPU training")
     parser.add_argument("-e", dest="cfg", required=True, help="experiment spec json")
@@ -57,6 +76,8 @@ def main(argv: Optional[list] = None) -> None:
     parser.add_argument("--output_root", default="outputs")
     parser.add_argument("--smoke", action="store_true",
                         help="2 steps on synthetic data; no checkpoints")
+    parser.add_argument("--slurm", action="store_true",
+                        help="install the SLURM SIGUSR1 requeue handler")
     cfg.add_train_args(parser)
     args = parser.parse_args(argv)
 
@@ -131,6 +152,9 @@ def main(argv: Optional[list] = None) -> None:
         to_batch=lambda stacked: to_train_batch(specs, stacked),
         sharding=batch_shardings(mesh),
     )
+
+    if args.slurm:
+        install_slurm_requeue_handler()
 
     metrics_path = os.path.join(experiment_dir, "metrics.jsonl")
     log_step = 0

@@ -47,3 +47,24 @@ def learning_rate_for_epoch(specs: Specs, epoch: jax.Array) -> jax.Array:
         jnp.asarray(sched.factor, jnp.float32),
         (epoch // sched.interval).astype(jnp.float32),
     )
+
+
+class LinearWeightSchedule:
+    """Linear ramp from `initial` to `target` over `interval` epochs starting
+    at `start_ep` (reference train.py:65-87; used by KL-weighted variants)."""
+
+    def __init__(self, start_ep: int, interval: int, initial: float = 0.0,
+                 target: float = 1.0):
+        self.start_ep = start_ep
+        self.interval = interval
+        self.initial = initial
+        self.target = target
+
+    def get_weight(self, epoch: int) -> float:
+        if epoch < self.start_ep:
+            return self.initial
+        return min(
+            self.target,
+            self.initial + (self.target - self.initial)
+            * (epoch - self.start_ep) / self.interval,
+        )

@@ -76,11 +76,13 @@ def main():
     t0 = time.time()
     float(jnp.sum(jnp.ones((8, 128)) @ jnp.ones((128, 8))))
     warm_s = time.time() - t0
+    print(f"# warmup {warm_s:.1f}s", file=sys.stderr, flush=True)
 
     t0 = time.time()
     result = evaluate(ctx)
     np.asarray(result.sdf_hand)
     compile_s = time.time() - t0
+    print(f"# compile+first {compile_s:.1f}s", file=sys.stderr, flush=True)
 
     times = []
     for it in range(3):
@@ -90,6 +92,7 @@ def main():
         np.asarray(result.sdf_hand)
         np.asarray(result.sdf_obj)
         times.append(time.time() - t0)
+        print(f"# iter {it}: {times[-1]:.2f}s", file=sys.stderr, flush=True)
     best = min(times)
 
     queries = 2 * n ** 3  # two passes
