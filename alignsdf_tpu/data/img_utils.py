@@ -118,3 +118,23 @@ def generate_patch_image(cvimg: np.ndarray, bbox: List[float], input_shape,
         img, trans, (int(input_shape[1]), int(input_shape[0])), flags=cv2.INTER_LINEAR
     )
     return patch, trans
+
+
+def decode_seg_maps(img: np.ndarray, task: str) -> np.ndarray:
+    """Segmentation image -> (H, W, 2) [visible hand, full hand] float maps
+    using the ObMan palette ids (reference utils/img_utils.py:30-48,63-77)."""
+    seg = np.zeros((img.shape[0], img.shape[1], 2), np.float32)
+    if "obman" in task:
+        ch = img[:, :, 0]
+        seg[:, :, 0][ch == 100] = 1
+        for pid in (100, 22, 24, 20):
+            seg[:, :, 1][ch == pid] = 1
+    return seg
+
+
+def load_seg(path: str, task: str) -> np.ndarray:
+    """Load + decode a segmentation map from disk (reference utils/img_utils.py:63-77)."""
+    img = cv2.imread(path, cv2.IMREAD_COLOR | cv2.IMREAD_IGNORE_ORIENTATION)
+    if not isinstance(img, np.ndarray):
+        raise IOError(f"Fail to read {path}")
+    return decode_seg_maps(img, task)

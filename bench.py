@@ -35,7 +35,53 @@ from alignsdf_tpu.ops.decoder_kernel import make_pallas_decode_fn
 A100_TORCH_REF_QPS = 2.5e6  # estimated reference throughput (see module docstring)
 
 
+def bench_train():
+    """Secondary metric: train samples/s/chip on the full AlignSDF ObMan
+    config (batch 64, 2000 pts/scene, 256^2; reference README.md:68-73)."""
+    import dataclasses
+
+    from alignsdf_tpu.config import NetworkSpecs as NS, Specs as SP
+    from alignsdf_tpu.models.alignsdf import build_model
+    from alignsdf_tpu.training.train_state import make_optimizer
+    from alignsdf_tpu.training.train_step import init_train_state, make_train_step
+    from alignsdf_tpu.data.synthetic import synthetic_train_batch
+
+    specs = SP(
+        dataset="obman", sdf_scale_factor=7.018621123357809,
+        mano_branch=True, object_pose_branch=True, encode_style="both",
+        point_feat_size=9, penetration_loss=True, contact_loss=True,
+        scenes_per_batch=64, hand_sdf_weight=0.5, obj_sdf_weight=0.5,
+        joint_weight=0.5, shape_reg_weight=5e-7, pose_reg_weight=5e-5,
+        network_specs=NS(),
+    )
+    model = build_model(specs)
+    opt = make_optimizer(specs)
+    rng = jax.random.PRNGKey(0)
+    state = init_train_state(model, specs, rng, opt)
+    step = jax.jit(make_train_step(model, specs, opt), donate_argnums=(0,))
+    b = specs.scenes_per_batch
+    batch = {k: jnp.asarray(v) for k, v in synthetic_train_batch(specs, batch_size=b).items()}
+    state, losses = step(state, batch, rng)
+    float(losses["total"])
+    times = []
+    for i in range(5):
+        t0 = time.time()
+        state, losses = step(state, batch, jax.random.fold_in(rng, i))
+        float(losses["total"])
+        times.append(time.time() - t0)
+    sps = b / min(times)
+    # reference anchor: torch DDP on A100 for this model/batch is ~250
+    # samples/s/GPU (estimate; repo publishes none — BASELINE.md)
+    print(json.dumps({
+        "metric": "train_samples_per_sec_per_chip", "value": round(sps, 1),
+        "unit": "samples/s", "vs_baseline": round(sps / 250.0, 2),
+    }))
+
+
 def main():
+    if "--train" in sys.argv:
+        bench_train()
+        return
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     use_pallas = "--no-pallas" not in sys.argv
 

@@ -148,3 +148,39 @@ def test_full_alignsdf_matches_reference():
     )
     np.testing.assert_allclose(np.asarray(j_hand), t_hand.numpy(), atol=5e-5)
     np.testing.assert_allclose(np.asarray(j_obj), t_obj.numpy(), atol=5e-5)
+
+
+def test_pixel_align_model_matches_reference():
+    """PixelAlign path: HeadNet aux features bicubically sampled per point
+    (reference networks/model.py:399-400, utils/utils.py:536-558)."""
+    specs_dict = _specs_dict(
+        ManoBranch=True, PixelAlign=True, Render=False, ObjectPoseBranch=False,
+        PointFeatSize=6, EncodeStyle="hand",
+    )
+    t_out, j_out = _run_pair(specs_dict, seed=2)
+    t_hand, t_obj, _, t_mano, _ = t_out
+    j_hand, j_obj, _, j_mano, _ = j_out
+    np.testing.assert_allclose(
+        np.asarray(j_mano["joints"]), t_mano["joints"].numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(j_hand), t_hand.numpy(), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(j_obj), t_obj.numpy(), atol=1e-4)
+
+
+def test_resnet50_encoder_matches_reference():
+    """Bottleneck-block conversion path."""
+    specs_dict = _specs_dict(Backbone="resnet50")
+    torch.manual_seed(3)
+    ref_model = oracle.reference_full_model(specs_dict)
+    specs = specs_from_dict(specs_dict)
+    model = build_model(specs)
+    params, stats = convert_alignsdf(ref_model.state_dict(), specs, (3, 4, 6, 3))
+
+    rng = np.random.RandomState(3)
+    img = rng.rand(1, 256, 256, 3).astype(np.float32)
+    with torch.no_grad():
+        t_sdf, _, _ = ref_model.encoder(
+            torch.from_numpy(img.transpose(0, 3, 1, 2).copy()))
+    j_sdf, _, _ = model.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(img), method=lambda m, x: m.encoder(x, train=False))
+    np.testing.assert_allclose(np.asarray(j_sdf), t_sdf.numpy(), atol=3e-4)
