@@ -107,6 +107,7 @@ class Specs:
     background_aug: bool = False
     random_seed: Optional[int] = None
     gradient_clip_norm: Optional[float] = None
+    remat: bool = False  # rematerialize ResNet blocks (memory for FLOPs)
     network_specs: NetworkSpecs = field(default_factory=NetworkSpecs)
     lr_schedules: Tuple[LearningRateSchedule, ...] = (LearningRateSchedule(),)
 
@@ -218,6 +219,7 @@ _KEY_MAP = {
     "BackgroundAug": "background_aug",
     "RandomSeed": "random_seed",
     "GradientClipNorm": "gradient_clip_norm",
+    "Remat": "remat",
 }
 
 _NS_KEY_MAP = {

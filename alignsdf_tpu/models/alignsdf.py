@@ -36,6 +36,7 @@ class AlignSDF(nn.Module):
             mano_features=specs.mano_branch,
             use_headnet=specs.use_headnet,
             use_pixel_align=specs.pixel_align,
+            remat=specs.remat,
         )
         if specs.mano_branch:
             assert self.mano_model is not None, "mano_branch needs a ManoModel"

@@ -67,6 +67,10 @@ class _Branch(nn.Module):
 
             if layer + 1 in specs.latent_in:
                 out_dim = self.dims[layer + 1] - self.dims[0]
+                assert out_dim > 0, (
+                    f"latent_in layer {layer + 1}: hidden width {self.dims[layer + 1]} "
+                    f"must exceed the input width {self.dims[0]} (latent+embed)"
+                )
             else:
                 out_dim = self.dims[layer + 1]
 

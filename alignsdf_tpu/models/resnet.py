@@ -194,10 +194,15 @@ class ResNetEncoder(nn.Module):
     mano_features: bool = False
     use_headnet: bool = False
     use_pixel_align: bool = False
+    remat: bool = False            # jax.checkpoint each residual block
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False):
         block_cls = BasicBlock if self.block == "basic" else Bottleneck
+        if self.remat and not self.is_initializing():
+            # rematerialize each residual block's activations in backward
+            # (skipped during init: flax remat + param-init RNG miscompiles)
+            block_cls = nn.remat(block_cls, static_argnums=(2,))
         expansion = 1 if self.block == "basic" else 4
 
         x = _conv(64, 7, 2, 3, name="conv1")(x)
@@ -246,7 +251,8 @@ _ARCHS = {
 
 
 def make_encoder(backbone: str, latent_size: int, mano_features: bool,
-                 use_headnet: bool, use_pixel_align: bool) -> ResNetEncoder:
+                 use_headnet: bool, use_pixel_align: bool,
+                 remat: bool = False) -> ResNetEncoder:
     """Factory matching reference networks/model.py:54-76."""
     block, layers = _ARCHS[backbone]
     return ResNetEncoder(
@@ -256,4 +262,5 @@ def make_encoder(backbone: str, latent_size: int, mano_features: bool,
         mano_features=mano_features,
         use_headnet=use_headnet,
         use_pixel_align=use_pixel_align,
+        remat=remat,
     )

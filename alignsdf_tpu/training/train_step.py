@@ -119,7 +119,18 @@ def init_train_state(
         "mano_root": jnp.zeros((batch_size, 3)),
         "rest_obj_corners": jnp.zeros((batch_size, 8, 3)),
     }
-    variables = model.init(rng, dummy_img, dummy_xyz, dummy_cond)
+    # Run the init trace on CPU: on the axon TPU tunnel a full init forward
+    # pays a multi-minute first-execution warmup; parameters are tiny and
+    # move to the default device lazily on first use.
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+    if cpu is not None and jax.default_backend() != "cpu":
+        with jax.default_device(cpu):
+            variables = model.init(rng, dummy_img, dummy_xyz, dummy_cond)
+    else:
+        variables = model.init(rng, dummy_img, dummy_xyz, dummy_cond)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     consts = variables.get("consts", {})
