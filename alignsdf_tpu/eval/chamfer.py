@@ -108,6 +108,32 @@ def icp(a: np.ndarray, b: np.ndarray, initial: Optional[np.ndarray] = None,
     return a, b, cost
 
 
+def registration_icp(a: np.ndarray, b: np.ndarray,
+                     initial: Optional[np.ndarray] = None,
+                     threshold: float = 1e-5, max_iterations: int = 20):
+    """One-directional ICP with full-procrustes (rotation+scale) updates —
+    the semantics of ``trimesh.registration.icp``, which is what the
+    reference's ``--rot`` eval path actually calls
+    (reference chamfer.py:203).  Returns (total_matrix, transformed_a, cost)."""
+    a = np.asanyarray(a, np.float64)
+    b = np.asanyarray(b, np.float64)
+    total_matrix = np.identity(4) if initial is None else initial
+    a = transform_points(a, total_matrix)
+    btree = cKDTree(b)
+    old_cost = np.inf
+    transformed = a
+    cost = old_cost
+    for _ in range(max_iterations):
+        _, idx = btree.query(a, 1)
+        matrix, transformed, cost = procrustes(a, b[idx])
+        a = transformed
+        total_matrix = matrix @ total_matrix
+        if old_cost - cost < threshold:
+            break
+        old_cost = cost
+    return total_matrix, transformed, cost
+
+
 def compute_chamfer(gt_mesh_path: str, pred_mesh_path: str, optim: bool = False,
                     rot: bool = False, n_samples: int = 30000,
                     rng: Optional[np.random.Generator] = None) -> float:
@@ -121,7 +147,7 @@ def compute_chamfer(gt_mesh_path: str, pred_mesh_path: str, optim: bool = False,
         if rot:
             points_source = sample_surface(source_mesh, n_samples, rng)
             points_target = sample_surface(target_mesh, n_samples, rng)
-            _, points_source, _ = icp(points_source, points_target)
+            _, points_source, _ = registration_icp(points_source, points_target)
         else:
             solver = ICPTransScale(source_mesh, target_mesh)
             solver.sample_mesh(n_samples, "both", rng)

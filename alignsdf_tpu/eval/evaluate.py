@@ -47,16 +47,25 @@ def _mano_errors(pred_mano_json: str, gt_meta_pkl: str, cam_extr: np.ndarray):
 
 
 def _obj_errors(pred_obj_json: str, gt_meta_pkl: str, cam_extr: np.ndarray):
-    """Object center/corner L2 in mm (reference evaluate.py:90-107)."""
+    """Object center/corner L2 in mm (reference evaluate.py:91-105):
+    center = predicted obj_trans translation vs the GT affine translation
+    relative to the hand root; corners = predicted corners vs GT rows 1:."""
     with open(pred_obj_json) as f:
         pred = json.load(f)
     with open(gt_meta_pkl, "rb") as f:
         gt = pickle.load(f)
+    pred_center = np.asarray(pred["obj_trans"], np.float64)[:3, 3]
+    gt_center = cam_extr @ (
+        np.asarray(gt["affine_transform"], np.float64)[:3, 3]
+        - np.asarray(gt["coords_3d"], np.float64)[0, :3]
+    )
+    center_err = float(np.linalg.norm(gt_center - pred_center) * 1000.0)
     pred_corners = np.asarray(pred["obj_corners"], np.float64)
-    gt_corners = (cam_extr @ np.asarray(gt["obj_corners_3d"], np.float64)[:, :3].T).T
-    center_err = float(np.linalg.norm(pred_corners.mean(0) - gt_corners[0]) * 1000.0)
+    gt_corners = (
+        cam_extr @ np.asarray(gt["obj_corners_3d"], np.float64)[1:, :3].T
+    ).T
     corner_err = float(
-        np.linalg.norm(pred_corners - gt_corners[1:], axis=1).mean() * 1000.0
+        np.linalg.norm(gt_corners - pred_corners, axis=1).mean() * 1000.0
     )
     return center_err, corner_err
 

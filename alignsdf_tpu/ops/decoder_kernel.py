@@ -113,9 +113,12 @@ def build_branch_plan(
 
 
 def _branch_compute(x0, plan_weights, plan_inject, plan_biases, n_layers):
-    """Run one trunk inside the kernel. x0: (BLK, IN0_PAD) f32 in VMEM.
-    Returns (final tanh output, input of the last layer) — the latter feeds
-    the classifier head (reference networks/model.py:161-162,306-307)."""
+    """Run one trunk inside the kernel. x0: (BLK, IN0_PAD) in VMEM, in the
+    plan's compute dtype (f32 for parity, bf16 for the fast path — matmuls
+    always accumulate in f32 via preferred_element_type).
+    Returns (final tanh output f32, input of the last layer) — the latter
+    feeds the classifier head (reference networks/model.py:161-162,306-307)."""
+    dtype = plan_weights[0].dtype
     x = x0
     last_input = x0
     for layer in range(n_layers):
@@ -128,7 +131,7 @@ def _branch_compute(x0, plan_weights, plan_inject, plan_biases, n_layers):
             acc = acc + jnp.dot(x0, inj[:], preferred_element_type=jnp.float32)
         acc = acc + plan_biases[layer][:]
         if layer < n_layers - 1:
-            x = jnp.maximum(acc, 0.0)
+            x = jnp.maximum(acc, 0.0).astype(dtype)
         else:
             x = jnp.tanh(acc)
     return x, last_input
@@ -213,6 +216,7 @@ def make_fused_decoder(
 
     in_h_pad = hand_plan.weights[0].shape[0]
     in_o_pad = obj_plan.weights[0].shape[0] if obj_plan is not None else 128
+    compute_dtype = hand_plan.weights[0].dtype
 
     def run(x_hand: jax.Array, x_obj: jax.Array):
         m = x_hand.shape[0]
@@ -220,6 +224,10 @@ def make_fused_decoder(
         if m_pad != m:
             x_hand = jnp.pad(x_hand, ((0, m_pad - m), (0, 0)))
             x_obj = jnp.pad(x_obj, ((0, m_pad - m), (0, 0)))
+        # points enter the kernel in the compute dtype (halves the HBM->VMEM
+        # stream in the bf16 fast path; accumulation stays f32)
+        x_hand = x_hand.astype(compute_dtype)
+        x_obj = x_obj.astype(compute_dtype)
         grid = (m_pad // block,)
 
         ops = flatten_ops()

@@ -82,8 +82,10 @@ def main():
     if "--train" in sys.argv:
         bench_train()
         return
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    n = int(args[0]) if args else 256
     use_pallas = "--no-pallas" not in sys.argv
+    use_bf16 = "--bf16" in sys.argv
 
     specs = Specs(
         model_type="1encoder2decoder",
@@ -102,7 +104,9 @@ def main():
     variables = dec.init(jax.random.PRNGKey(0), dummy)
 
     if use_pallas:
-        decode_fn = make_pallas_decode_fn(specs, block=512)
+        decode_fn = make_pallas_decode_fn(
+            specs, block=512,
+            dtype=jnp.bfloat16 if use_bf16 else jnp.float32)
     else:
         def decode_fn(ctx, inputs):
             h, o, _ = dec.apply({"params": ctx["params"]}, inputs)
@@ -163,7 +167,8 @@ def main():
         )
     )
     print(
-        f"# n={n} pallas={use_pallas} device={best:.3f}s (+fetch {best_fetch:.3f}s) "
+        f"# n={n} pallas={use_pallas} bf16={use_bf16} "
+        f"device={best:.3f}s (+fetch {best_fetch:.3f}s) "
         f"compile={compile_s:.1f}s warmup={warm_s:.1f}s "
         f"chip={jax.devices()[0].device_kind}",
         file=sys.stderr,

@@ -22,15 +22,21 @@ _initialized = False
 def _stub_module(name: str, **attrs) -> types.ModuleType:
     mod = sys.modules.get(name)
     if mod is None:
-        mod = types.ModuleType(name)
-        sys.modules[name] = mod
-    for key, value in attrs.items():
-        setattr(mod, key, value)
+        try:  # prefer the real package when it is actually installed
+            import importlib
+
+            mod = importlib.import_module(name)
+        except ImportError:
+            mod = types.ModuleType(name)
+            sys.modules[name] = mod
+    if not getattr(mod, "__file__", None):  # only add attrs to fakes
+        for key, value in attrs.items():
+            setattr(mod, key, value)
     # register as attribute of parent package
     if "." in name:
         parent_name, child = name.rsplit(".", 1)
         parent = sys.modules.get(parent_name)
-        if parent is not None:
+        if parent is not None and not getattr(parent, "__file__", None):
             setattr(parent, child, mod)
     return mod
 
@@ -127,13 +133,14 @@ def setup_reference() -> None:
         models=_stub_module("torchvision.models"),
     )
 
-    # --- replace the chumpy-based MANO loader before manopth imports it
+    # --- replace the chumpy-based MANO loader before manopth imports it.
+    # The reference module imports fine (chumpy is imported lazily inside
+    # ready_arguments), so force-override the function on whichever module —
+    # real or fake — ended up in sys.modules.
     _stub_module("mano")
     _stub_module("mano.webuser")
-    _stub_module(
-        "mano.webuser.smpl_handpca_wrapper_HAND_only",
-        ready_arguments=_fake_ready_arguments,
-    )
+    loader_mod = _stub_module("mano.webuser.smpl_handpca_wrapper_HAND_only")
+    loader_mod.ready_arguments = _fake_ready_arguments
 
     _initialized = True
 

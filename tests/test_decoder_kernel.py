@@ -36,6 +36,26 @@ def test_separate_kernel_matches_flax(encode_style, pfs):
     np.testing.assert_allclose(np.asarray(k_o), np.asarray(ref_o), atol=1e-5)
 
 
+def test_bf16_fast_path_close_to_f32():
+    """The bf16 fast path (opt-in, for grid eval throughput) must stay within
+    a small absolute error of the f32 kernel on clamp-range SDF outputs."""
+    specs = _specs("1encoder2decoder", "nerf", 3)
+    dec = SeparateDecoder(specs.latent_size, 3, "nerf", specs.network_specs,
+                          use_classifier=False)
+    x = np.random.RandomState(2).randn(512, specs.latent_size + 3).astype(np.float32)
+    variables = dec.init(jax.random.PRNGKey(2), jnp.asarray(x))
+    ref_h, ref_o, _ = dec.apply(variables, jnp.asarray(x))
+
+    decode = make_pallas_decode_fn(specs, block=128, interpret=True,
+                                   dtype=jnp.bfloat16)
+    k_h, k_o, _ = decode({"decoder_params": variables["params"]}, jnp.asarray(x))
+    err_h = np.abs(np.asarray(k_h) - np.asarray(ref_h)).max()
+    err_o = np.abs(np.asarray(k_o) - np.asarray(ref_o)).max()
+    # clamp distance is 0.05 (reference specs ClampingDistance); keep the
+    # fast path's worst-case error well under a voxel's worth of SDF
+    assert err_h < 5e-3 and err_o < 5e-3, (err_h, err_o)
+
+
 def test_combined_kernel_matches_flax_with_classifier():
     specs = _specs("1encoder1decoder", "nerf", 3, use_classifier=True)
     dec = CombinedDecoder(specs.latent_size, 3, "nerf", specs.network_specs,
