@@ -99,6 +99,7 @@ def make_grid_evaluator(
     chunk: int = 1 << 17,
     mesh: Optional[Mesh] = None,
     two_pass: bool = True,
+    grid_decode_fn: Optional[Callable] = None,
 ):
     """Build the jitted two-pass grid evaluator.
 
@@ -110,6 +111,11 @@ def make_grid_evaluator(
       n: grid resolution per side.
       chunk: per-device block size for lax.map.
       mesh: device mesh to shard the point axis over (None = single device).
+      grid_decode_fn: optional fully fused fast path
+        (ctx, idx (M,), origin (3,), voxel ()) -> (sdf_h, sdf_o, logits) that
+        derives coordinates and builds decoder inputs in-kernel
+        (ops/decoder_kernel.make_fused_grid_decode_fn); used instead of the
+        embed+concat+decode_fn chain when provided.
     """
     total = n ** 3
 
@@ -134,6 +140,14 @@ def make_grid_evaluator(
         idx_blocks = idx.reshape(n_chunks, csize)
 
         def one_chunk(block):
+            if grid_decode_fn is not None:
+                sdf_h, sdf_o, logits = grid_decode_fn(ctx, block, origin, voxel)
+                cls = (
+                    jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                    if logits is not None
+                    else jnp.zeros(block.shape[0], jnp.int32)
+                )
+                return sdf_h[:, 0], sdf_o[:, 0], cls
             pts = _coords_from_linear(block, n, origin, voxel)
             emb = embed(ctx, pts)
             latent = ctx["latent"]

@@ -96,8 +96,18 @@ class Reconstructor:
                 return model.apply({"params": ctx["params"]}, inputs,
                                    method=model.decode_points)
 
+        # fully fused fast path (in-kernel coords + latent folding) when the
+        # config allows it: nerf style, raw xyz, single broadcast latent.
+        # TPU only — on CPU the kernel would run in (slow) interpret mode.
+        grid_decode_fn = None
+        if not specs.pixel_align and jax.default_backend() not in ("cpu",):
+            from alignsdf_tpu.ops.decoder_kernel import make_fused_grid_decode_fn
+
+            grid_decode_fn = make_fused_grid_decode_fn(specs, cube_dim)
+
         self.evaluate_grid = make_grid_evaluator(
-            decode_fn, specs, cube_dim, chunk=chunk, mesh=mesh, two_pass=True
+            decode_fn, specs, cube_dim, chunk=chunk, mesh=mesh, two_pass=True,
+            grid_decode_fn=grid_decode_fn,
         )
 
         @jax.jit

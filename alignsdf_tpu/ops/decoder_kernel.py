@@ -172,47 +172,17 @@ def make_fused_decoder(
         out_ref = op_refs[-1]
         refs = list(op_refs[:-1])
 
-        def take(n):
-            nonlocal refs
-            got, refs = refs[:n], refs[n:]
-            return got
-
-        def take_plan(plan, n_layers):
-            ws = take(n_layers)
-            inj_flat = take(sum(1 for w in plan.inject_weights if w is not None))
-            it = iter(inj_flat)
-            inj = [next(it) if w is not None else None for w in plan.inject_weights]
-            bs = take(n_layers)
-            return ws, inj, bs
-
-        h_ws, h_inj, h_bs = take_plan(hand_plan, n_hand)
-        x_h = x_hand_ref[:]
-        h_out, h_last_in = _branch_compute(x_h, h_ws, h_inj, h_bs, n_hand)
-
+        (h_ws, h_inj, h_bs), refs = _take_plan_refs(refs, hand_plan)
+        h_out, h_last_in = _branch_compute(x_hand_ref[:], h_ws, h_inj, h_bs,
+                                           n_hand)
+        o_out = None
         if obj_plan is not None:
-            o_ws, o_inj, o_bs = take_plan(obj_plan, n_obj)
+            (o_ws, o_inj, o_bs), refs = _take_plan_refs(refs, obj_plan)
             o_out, _ = _branch_compute(x_obj_ref[:], o_ws, o_inj, o_bs, n_obj)
 
-        # Assemble the (BLK, 128) output without scatter (unsupported in
-        # Mosaic): select lanes via iota masks and lane-rolls.
-        blk = x_h.shape[0]
-        lane = jax.lax.broadcasted_iota(jnp.int32, (blk, 128), 1)
-        if combined:
-            out = jnp.where(lane < 2, h_out, 0.0)
-        else:
-            out = jnp.where(lane == 0, h_out, 0.0)
-            out = out + jnp.where(lane == 1, pltpu.roll(o_out, shift=1, axis=1), 0.0)
-
-        if classifier is not None:
-            cw_ref, cb_ref = take(2)
-            logits = (
-                jnp.dot(h_last_in, cw_ref[:], preferred_element_type=jnp.float32)
-                + cb_ref[:]
-            )
-            shifted = pltpu.roll(logits, shift=2, axis=1)
-            out = out + jnp.where((lane >= 2) & (lane < 2 + num_class), shifted, 0.0)
-
-        out_ref[:] = out
+        cls_refs = tuple(refs[:2]) if classifier is not None else None
+        out_ref[:] = _assemble_output(h_out, o_out, combined, cls_refs,
+                                      h_last_in, num_class)
 
     in_h_pad = hand_plan.weights[0].shape[0]
     in_o_pad = obj_plan.weights[0].shape[0] if obj_plan is not None else 128
@@ -261,6 +231,294 @@ def make_fused_decoder(
         return sdf_hand, sdf_obj, logits
 
     return run
+
+
+def _take_plan_refs(refs: List, plan: BranchPlan):
+    """Pop one branch's (weights, inject, biases) refs off the flat list."""
+    n_layers = len(plan.weights)
+    ws, refs = refs[:n_layers], refs[n_layers:]
+    n_inj = sum(1 for w in plan.inject_weights if w is not None)
+    inj_flat, refs = refs[:n_inj], refs[n_inj:]
+    it = iter(inj_flat)
+    inj = [next(it) if w is not None else None for w in plan.inject_weights]
+    bs, refs = refs[:n_layers], refs[n_layers:]
+    return (ws, inj, bs), refs
+
+
+def _assemble_output(h_out, o_out, combined: bool, classifier_refs=None,
+                     h_last_in=None, num_class: int = 0):
+    """Pack hand/obj sdf (+ classifier logits) into one (BLK, 128) tile:
+    col 0 hand, col 1 obj, cols 2..2+C logits.  Scatter is unsupported in
+    Mosaic, so lanes are selected with iota masks and lane-rolls."""
+    blk = h_out.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (blk, 128), 1)
+    if combined:
+        out = jnp.where(lane < 2, h_out, 0.0)
+    else:
+        out = jnp.where(lane == 0, h_out, 0.0)
+        out = out + jnp.where(lane == 1, pltpu.roll(o_out, shift=1, axis=1), 0.0)
+    if classifier_refs is not None:
+        cw_ref, cb_ref = classifier_refs
+        logits = (
+            jnp.dot(h_last_in, cw_ref[:], preferred_element_type=jnp.float32)
+            + cb_ref[:]
+        )
+        shifted = pltpu.roll(logits, shift=2, axis=1)
+        out = out + jnp.where((lane >= 2) & (lane < 2 + num_class), shifted, 0.0)
+    return out
+
+
+class GridBranchPlan(NamedTuple):
+    """Latent-folded trunk for broadcast-latent grid evaluation.
+
+    With a single latent shared by every grid point, the wide input layers
+    factor:  [latent, xyz] @ W  ==  (latent @ W_lat  -> folded into the bias,
+    one tiny XLA matmul per call)  +  xyz @ W_xyz (3 VPU broadcast-FMAs in
+    the kernel).  The 384-wide layer-0 / inject matmuls disappear from the
+    MXU entirely (~40% of the padded FLOPs of the generic kernel).
+    """
+
+    mm_weights: Tuple[Optional[jax.Array], ...]  # (in_pad, out_pad); None for layer 0
+    xyz_weights: Tuple[Optional[jax.Array], ...]  # (8, out_pad) xyz rows or None
+    biases: Tuple[jax.Array, ...]                # (1, out_pad), latent folded in
+    out_dim: int
+
+
+def build_grid_branch_plan(
+    branch_params: Dict[str, Any],
+    prefix: str,
+    latent: jax.Array,
+    latent_width: int,
+    specs: NetworkSpecs,
+    out_dim: int,
+    dtype=jnp.float32,
+) -> GridBranchPlan:
+    """Fold the (1, L)-latent into per-layer biases; keep xyz rows separate."""
+    in_dim = latent_width + 3
+    dims = (in_dim,) + specs.dims + (out_dim,)
+    n_layers = len(dims) - 1
+    lat = latent.astype(jnp.float32).reshape(1, latent_width)
+
+    mm_ws: List[Optional[jax.Array]] = []
+    xyz_ws: List[Optional[jax.Array]] = []
+    biases: List[jax.Array] = []
+
+    cur_dim = in_dim
+    for layer in range(n_layers):
+        if layer + 1 in specs.latent_in:
+            layer_out = dims[layer + 1] - dims[0]
+        else:
+            layer_out = dims[layer + 1]
+        w, b = _materialize_linear(branch_params[f"{prefix}{layer}"])
+        w = w.astype(jnp.float32)
+        out_pad = _round_up(layer_out, 128)
+
+        def pad_xyz(w_xyz):
+            z = jnp.zeros((8, out_pad), dtype)
+            return z.at[:3, :layer_out].set(w_xyz.astype(dtype))
+
+        b_eff = jnp.zeros((1, out_pad), jnp.float32).at[0, :layer_out].set(b)
+        if layer == 0:
+            # w: (in_dim, out) = [latent rows | xyz rows]
+            b_eff = b_eff.at[:, :layer_out].add(lat @ w[:latent_width])
+            mm_ws.append(None)
+            xyz_ws.append(pad_xyz(w[latent_width:latent_width + 3]))
+        elif layer in specs.latent_in:
+            # torch input was [x (cur_dim), input (in_dim)]
+            w_x = w[:cur_dim]
+            w_in = w[cur_dim:cur_dim + in_dim]
+            b_eff = b_eff.at[:, :layer_out].add(lat @ w_in[:latent_width])
+            wx_pad = jnp.zeros((_round_up(cur_dim, 128), out_pad), dtype)
+            mm_ws.append(wx_pad.at[:cur_dim, :layer_out].set(w_x.astype(dtype)))
+            xyz_ws.append(pad_xyz(w_in[latent_width:latent_width + 3]))
+        else:
+            w_pad = jnp.zeros((_round_up(cur_dim, 128), out_pad), dtype)
+            mm_ws.append(w_pad.at[:cur_dim, :layer_out].set(w.astype(dtype)))
+            xyz_ws.append(None)
+        biases.append(b_eff)
+        cur_dim = layer_out
+
+    return GridBranchPlan(tuple(mm_ws), tuple(xyz_ws), tuple(biases), out_dim)
+
+
+def _grid_branch_compute(xf, yf, zf, mm_ws, xyz_ws, bs, n_layers, dtype):
+    """One latent-folded trunk inside the kernel.  xf/yf/zf: (BLK, 1) f32
+    coordinate columns.  Returns (tanh output f32, last layer's input)."""
+
+    def xyz_contrib(w8_ref):
+        w = w8_ref[:]  # (8, out_pad)
+        return xf * w[0:1] + yf * w[1:2] + zf * w[2:3]
+
+    x = None
+    last_input = None
+    for layer in range(n_layers):
+        if layer == n_layers - 1:
+            last_input = x
+        acc = bs[layer][:]
+        if mm_ws[layer] is not None:
+            acc = acc + jnp.dot(x, mm_ws[layer][:],
+                                preferred_element_type=jnp.float32)
+        if xyz_ws[layer] is not None:
+            acc = acc + xyz_contrib(xyz_ws[layer])
+        if layer < n_layers - 1:
+            x = jnp.maximum(acc, 0.0).astype(dtype)
+        else:
+            x = jnp.tanh(acc)
+    return x, last_input
+
+
+def make_fused_grid_kernel(
+    hand_plan: GridBranchPlan,
+    obj_plan: Optional[GridBranchPlan],
+    classifier: Optional[Tuple[jax.Array, jax.Array, int]],
+    n: int,
+    block: int = 512,
+    combined: bool = False,
+    interpret: bool = False,
+):
+    """Fully fused grid decoder (nerf style, raw xyz, broadcast latent): the
+    kernel streams only 4-byte linear grid indices; coordinates are derived
+    in-kernel from the index (reference utils/mesh.py:27-40 convention:
+    z fastest, x slowest) and enter the latent-folded trunks as three VPU
+    broadcast-FMAs (GridBranchPlan).  Per-point HBM traffic drops from
+    ~2 input tiles + 1 output tile (generic kernel) to 4 B in + 1 tile out,
+    and the MXU runs only the square hidden layers.
+
+    Returns run(idx (M,) int32, origin (3,) f32, voxel () f32)
+      -> (sdf_hand (M,1), sdf_obj (M,1), logits (M,C)|None).
+    """
+    n_hand = len(hand_plan.mm_weights)
+    num_class = classifier[2] if classifier is not None else 0
+    compute_dtype = next(w.dtype for w in hand_plan.mm_weights if w is not None)
+    n_sq = n * n
+
+    def plan_ops(plan):
+        ops = [w for w in plan.mm_weights if w is not None]
+        ops += [w for w in plan.xyz_weights if w is not None]
+        ops += list(plan.biases)
+        return ops
+
+    def take_plan_refs(refs, plan):
+        n_mm = sum(1 for w in plan.mm_weights if w is not None)
+        n_xyz = sum(1 for w in plan.xyz_weights if w is not None)
+        n_l = len(plan.mm_weights)
+        mm_flat, refs = refs[:n_mm], refs[n_mm:]
+        xyz_flat, refs = refs[:n_xyz], refs[n_xyz:]
+        bs, refs = refs[:n_l], refs[n_l:]
+        it_m, it_x = iter(mm_flat), iter(xyz_flat)
+        mm = [next(it_m) if w is not None else None for w in plan.mm_weights]
+        xyz = [next(it_x) if w is not None else None for w in plan.xyz_weights]
+        return (mm, xyz, bs), refs
+
+    def flatten_ops():
+        ops = plan_ops(hand_plan)
+        if obj_plan is not None:
+            ops += plan_ops(obj_plan)
+        if classifier is not None:
+            ops += list(classifier[:2])
+        return ops
+
+    def kernel(scal_ref, idx_ref, *op_refs):
+        out_ref = op_refs[-1]
+        refs = list(op_refs[:-1])
+
+        p = idx_ref[:]  # (BLK, 1) int32 global linear grid indices
+        voxel = scal_ref[3]
+        xf = (p // n_sq % n).astype(jnp.float32) * voxel + scal_ref[0]
+        yf = (p // n % n).astype(jnp.float32) * voxel + scal_ref[1]
+        zf = (p % n).astype(jnp.float32) * voxel + scal_ref[2]
+
+        (h_mm, h_xyz, h_bs), refs = take_plan_refs(refs, hand_plan)
+        h_out, h_last_in = _grid_branch_compute(
+            xf, yf, zf, h_mm, h_xyz, h_bs, n_hand, compute_dtype)
+        o_out = None
+        if obj_plan is not None:
+            (o_mm, o_xyz, o_bs), refs = take_plan_refs(refs, obj_plan)
+            o_out, _ = _grid_branch_compute(
+                xf, yf, zf, o_mm, o_xyz, o_bs, len(obj_plan.mm_weights),
+                compute_dtype)
+
+        cls_refs = tuple(refs[:2]) if classifier is not None else None
+        out_ref[:] = _assemble_output(h_out, o_out, combined, cls_refs,
+                                      h_last_in, num_class)
+
+    def run(idx: jax.Array, origin: jax.Array, voxel: jax.Array):
+        m = idx.shape[0]
+        m_pad = _round_up(m, block)
+        if m_pad != m:
+            idx = jnp.pad(idx, (0, m_pad - m))
+        idx2 = idx.reshape(m_pad, 1).astype(jnp.int32)
+        scal = jnp.concatenate(
+            [origin.astype(jnp.float32).reshape(3),
+             jnp.asarray(voxel, jnp.float32).reshape(1)])
+
+        ops = flatten_ops()
+        op_specs = [
+            pl.BlockSpec(op.shape, partial(lambda nd, i: (0,) * nd, len(op.shape)),
+                         memory_space=pltpu.VMEM)
+            for op in ops
+        ]
+        out = pl.pallas_call(
+            kernel,
+            grid=(m_pad // block,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # scal (4,)
+                pl.BlockSpec((block, 1), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                *op_specs,
+            ],
+            out_specs=pl.BlockSpec((block, 128), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((m_pad, 128), jnp.float32),
+            interpret=interpret,
+        )(scal, idx2, *ops)
+
+        out = out[:m]
+        logits = out[:, 2:2 + num_class] if num_class else None
+        return out[:, 0:1], out[:, 1:2], logits
+
+    return run
+
+
+def make_fused_grid_decode_fn(specs: Specs, n: int, block: int = 512,
+                              interpret: bool = False, dtype=jnp.float32):
+    """grid_decode(ctx, idx, origin, voxel) for inference/grid.py, or None if
+    the config can't use the fully fused path (it requires nerf style with
+    raw-xyz features and a single broadcast latent)."""
+    if specs.encode_style != "nerf" or specs.point_feat_size != 3:
+        return None
+    ls, ns = specs.latent_size, specs.network_specs
+    combined = specs.model_type == "1encoder1decoder"
+
+    def grid_decode(ctx, idx, origin, voxel):
+        dp = ctx["decoder_params"]
+        latent = ctx["latent"]
+        if combined:
+            hand_plan = build_grid_branch_plan(dp["trunk"], "lin", latent, ls,
+                                               ns, 2, dtype)
+            obj_plan = None
+            classifier = (
+                _classifier_pad(dp["trunk"], hand_plan.mm_weights[-1].shape[0],
+                                ns, dtype)
+                if specs.classifier_branch else None
+            )
+        else:
+            hand_plan = build_grid_branch_plan(dp["hand"], "linh", latent, ls,
+                                               ns, 1, dtype)
+            obj_plan = build_grid_branch_plan(dp["obj"], "lino", latent, ls,
+                                              ns, 1, dtype)
+            classifier = (
+                _classifier_pad(dp["hand"], hand_plan.mm_weights[-1].shape[0],
+                                ns, dtype)
+                if specs.classifier_branch and "classifier_head" in dp["hand"]
+                else None
+            )
+        run = make_fused_grid_kernel(
+            hand_plan, obj_plan, classifier, n, block=block,
+            combined=combined, interpret=interpret)
+        return run(idx, origin, voxel)
+
+    return grid_decode
 
 
 def pad_inputs(x: jax.Array, in_dim_pad: int) -> jax.Array:

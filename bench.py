@@ -30,7 +30,10 @@ import numpy as np
 from alignsdf_tpu.config import NetworkSpecs, Specs
 from alignsdf_tpu.inference.grid import make_grid_evaluator
 from alignsdf_tpu.models.decoder import SeparateDecoder
-from alignsdf_tpu.ops.decoder_kernel import make_pallas_decode_fn
+from alignsdf_tpu.ops.decoder_kernel import (
+    make_fused_grid_decode_fn,
+    make_pallas_decode_fn,
+)
 
 A100_TORCH_REF_QPS = 2.5e6  # estimated reference throughput (see module docstring)
 
@@ -103,10 +106,13 @@ def main():
     dummy = jnp.zeros((8, specs.latent_size + specs.point_feat_size))
     variables = dec.init(jax.random.PRNGKey(0), dummy)
 
+    grid_decode_fn = None
     if use_pallas:
-        decode_fn = make_pallas_decode_fn(
-            specs, block=512,
-            dtype=jnp.bfloat16 if use_bf16 else jnp.float32)
+        kdtype = jnp.bfloat16 if use_bf16 else jnp.float32
+        decode_fn = make_pallas_decode_fn(specs, block=512, dtype=kdtype)
+        if "--no-fused" not in sys.argv:
+            grid_decode_fn = make_fused_grid_decode_fn(
+                specs, n, block=512, dtype=kdtype)
     else:
         def decode_fn(ctx, inputs):
             h, o, _ = dec.apply({"params": ctx["params"]}, inputs)
@@ -117,7 +123,8 @@ def main():
            "decoder_params": variables["params"], "latent": latent}
 
     evaluate = make_grid_evaluator(
-        decode_fn, specs, n, chunk=1 << 18, mesh=None, two_pass=True
+        decode_fn, specs, n, chunk=1 << 18, mesh=None, two_pass=True,
+        grid_decode_fn=grid_decode_fn,
     )
 
     # Warm up the execution path: the axon tunnel's first real execution
@@ -168,6 +175,7 @@ def main():
     )
     print(
         f"# n={n} pallas={use_pallas} bf16={use_bf16} "
+        f"fused_grid={grid_decode_fn is not None} "
         f"device={best:.3f}s (+fetch {best_fetch:.3f}s) "
         f"compile={compile_s:.1f}s warmup={warm_s:.1f}s "
         f"chip={jax.devices()[0].device_kind}",

@@ -6,8 +6,12 @@ import jax
 import jax.numpy as jnp
 
 from alignsdf_tpu.config import NetworkSpecs, Specs
+from alignsdf_tpu.inference.grid import make_grid_evaluator
 from alignsdf_tpu.models.decoder import CombinedDecoder, SeparateDecoder
-from alignsdf_tpu.ops.decoder_kernel import make_pallas_decode_fn
+from alignsdf_tpu.ops.decoder_kernel import (
+    make_fused_grid_decode_fn,
+    make_pallas_decode_fn,
+)
 
 
 def _specs(model_type, encode_style, pfs, use_classifier=False):
@@ -34,6 +38,44 @@ def test_separate_kernel_matches_flax(encode_style, pfs):
     assert logits is None
     np.testing.assert_allclose(np.asarray(k_h), np.asarray(ref_h), atol=1e-5)
     np.testing.assert_allclose(np.asarray(k_o), np.asarray(ref_o), atol=1e-5)
+
+
+@pytest.mark.parametrize("model_type,use_classifier",
+                         [("1encoder2decoder", False), ("1encoder1decoder", True)])
+def test_fused_grid_kernel_matches_generic_path(model_type, use_classifier):
+    """The fully fused grid decoder (in-kernel coords + input construction)
+    must reproduce the generic embed->concat->decode path bit-for-bit."""
+    specs = _specs(model_type, "nerf", 3, use_classifier=use_classifier)
+    cls = CombinedDecoder if model_type == "1encoder1decoder" else SeparateDecoder
+    dec = cls(specs.latent_size, 3, "nerf", specs.network_specs,
+              use_classifier=use_classifier)
+    v = dec.init(jax.random.PRNGKey(3), jnp.zeros((8, specs.latent_size + 3)))
+    latent = jax.random.normal(jax.random.PRNGKey(4), (1, specs.latent_size))
+    ctx = {"decoder_params": v["params"], "latent": latent}
+
+    n = 20
+    decode = make_pallas_decode_fn(specs, block=128, interpret=True)
+    ev_ref = make_grid_evaluator(decode, specs, n, chunk=n ** 3 // 4,
+                                 two_pass=True)
+    gd = make_fused_grid_decode_fn(specs, n, block=128, interpret=True)
+    assert gd is not None
+    ev_fused = make_grid_evaluator(decode, specs, n, chunk=n ** 3 // 4,
+                                   two_pass=True, grid_decode_fn=gd)
+    r0, r1 = ev_ref(ctx), ev_fused(ctx)
+    np.testing.assert_allclose(np.asarray(r0.sdf_hand), np.asarray(r1.sdf_hand),
+                               atol=2e-6)
+    np.testing.assert_allclose(np.asarray(r0.sdf_obj), np.asarray(r1.sdf_obj),
+                               atol=2e-6)
+    np.testing.assert_array_equal(np.asarray(r0.cls), np.asarray(r1.cls))
+    np.testing.assert_allclose(np.asarray(r0.origin), np.asarray(r1.origin),
+                               atol=2e-6)
+
+
+def test_fused_grid_decode_fn_gated_by_config():
+    assert make_fused_grid_decode_fn(
+        _specs("1encoder2decoder", "both", 9), n=16) is None
+    assert make_fused_grid_decode_fn(
+        _specs("1encoder2decoder", "nerf", 51), n=16) is None
 
 
 def test_bf16_fast_path_close_to_f32():
