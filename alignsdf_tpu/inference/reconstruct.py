@@ -96,11 +96,21 @@ class Reconstructor:
                 return model.apply({"params": ctx["params"]}, inputs,
                                    method=model.decode_points)
 
-        # fully fused fast path (in-kernel coords + latent folding) when the
-        # config allows it: nerf style, raw xyz, single broadcast latent.
-        # TPU only — on CPU the kernel would run in (slow) interpret mode.
+        # fully fused fast path (in-kernel coords + affine-embedding/latent
+        # folding) when the config allows it: single broadcast latent and
+        # raw-xyz or kinematic features, with the transforms the embedding
+        # probe needs guaranteed present in ctx.  TPU only — on CPU the
+        # kernel would run in (slow) interpret mode.
+        style = specs.encode_style
+        fusable = (
+            (style == "nerf" and specs.point_feat_size == 3)
+            or (style == "hand" and specs.mano_branch)
+            or (style in ("obj", "both")
+                and specs.mano_branch and specs.object_pose_branch)
+        )
         grid_decode_fn = None
-        if not specs.pixel_align and jax.default_backend() not in ("cpu",):
+        if (fusable and not specs.pixel_align
+                and jax.default_backend() not in ("cpu",)):
             from alignsdf_tpu.ops.decoder_kernel import make_fused_grid_decode_fn
 
             grid_decode_fn = make_fused_grid_decode_fn(specs, cube_dim)

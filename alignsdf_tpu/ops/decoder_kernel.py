@@ -272,10 +272,15 @@ class GridBranchPlan(NamedTuple):
     """Latent-folded trunk for broadcast-latent grid evaluation.
 
     With a single latent shared by every grid point, the wide input layers
-    factor:  [latent, xyz] @ W  ==  (latent @ W_lat  -> folded into the bias,
-    one tiny XLA matmul per call)  +  xyz @ W_xyz (3 VPU broadcast-FMAs in
-    the kernel).  The 384-wide layer-0 / inject matmuls disappear from the
-    MXU entirely (~40% of the padded FLOPs of the generic kernel).
+    factor:  [latent, emb(xyz)] @ W  ==  (latent @ W_lat -> folded into the
+    bias, one tiny XLA matmul per call)  +  xyz @ (A @ W_emb) + b @ W_emb
+    (3 VPU broadcast-FMAs in the kernel + another bias fold), where
+    emb(xyz) = xyz @ A + b is the scene's embedding as an affine map —
+    exact for raw xyz AND for every kinematic encode style, since the
+    pose-aligned embeddings (ops/embeddings.kinematic_embedding, reference
+    utils/utils.py:376-430) are compositions of rigid transforms and
+    scalings.  The wide layer-0 / inject matmuls disappear from the MXU
+    entirely (~40% of the padded FLOPs of the generic kernel).
     """
 
     mm_weights: Tuple[Optional[jax.Array], ...]  # (in_pad, out_pad); None for layer 0
@@ -289,15 +294,21 @@ def build_grid_branch_plan(
     prefix: str,
     latent: jax.Array,
     latent_width: int,
+    emb_a: jax.Array,   # (3, n_emb) — branch embedding as affine map of xyz
+    emb_b: jax.Array,   # (n_emb,)
     specs: NetworkSpecs,
     out_dim: int,
     dtype=jnp.float32,
 ) -> GridBranchPlan:
-    """Fold the (1, L)-latent into per-layer biases; keep xyz rows separate."""
-    in_dim = latent_width + 3
+    """Fold the (1, L)-latent and the affine embedding (emb = xyz@A + b) into
+    per-layer biases / 3-row xyz weights."""
+    n_emb = emb_a.shape[1]
+    in_dim = latent_width + n_emb
     dims = (in_dim,) + specs.dims + (out_dim,)
     n_layers = len(dims) - 1
     lat = latent.astype(jnp.float32).reshape(1, latent_width)
+    emb_a = emb_a.astype(jnp.float32)
+    emb_b = emb_b.astype(jnp.float32).reshape(1, n_emb)
 
     mm_ws: List[Optional[jax.Array]] = []
     xyz_ws: List[Optional[jax.Array]] = []
@@ -313,24 +324,25 @@ def build_grid_branch_plan(
         w = w.astype(jnp.float32)
         out_pad = _round_up(layer_out, 128)
 
-        def pad_xyz(w_xyz):
+        def fold(w_full, b_eff):
+            """[latent, emb(xyz)] @ w_full -> (xyz weights, updated bias)."""
+            w_lat, w_emb = w_full[:latent_width], w_full[latent_width:in_dim]
+            b_eff = b_eff.at[:, :layer_out].add(lat @ w_lat + emb_b @ w_emb)
             z = jnp.zeros((8, out_pad), dtype)
-            return z.at[:3, :layer_out].set(w_xyz.astype(dtype))
+            return z.at[:3, :layer_out].set((emb_a @ w_emb).astype(dtype)), b_eff
 
         b_eff = jnp.zeros((1, out_pad), jnp.float32).at[0, :layer_out].set(b)
         if layer == 0:
-            # w: (in_dim, out) = [latent rows | xyz rows]
-            b_eff = b_eff.at[:, :layer_out].add(lat @ w[:latent_width])
+            xyz_w, b_eff = fold(w, b_eff)
             mm_ws.append(None)
-            xyz_ws.append(pad_xyz(w[latent_width:latent_width + 3]))
+            xyz_ws.append(xyz_w)
         elif layer in specs.latent_in:
-            # torch input was [x (cur_dim), input (in_dim)]
-            w_x = w[:cur_dim]
-            w_in = w[cur_dim:cur_dim + in_dim]
-            b_eff = b_eff.at[:, :layer_out].add(lat @ w_in[:latent_width])
+            # torch layer input was [x (cur_dim), input (in_dim)]
+            xyz_w, b_eff = fold(w[cur_dim:cur_dim + in_dim], b_eff)
             wx_pad = jnp.zeros((_round_up(cur_dim, 128), out_pad), dtype)
-            mm_ws.append(wx_pad.at[:cur_dim, :layer_out].set(w_x.astype(dtype)))
-            xyz_ws.append(pad_xyz(w_in[latent_width:latent_width + 3]))
+            mm_ws.append(
+                wx_pad.at[:cur_dim, :layer_out].set(w[:cur_dim].astype(dtype)))
+            xyz_ws.append(xyz_w)
         else:
             w_pad = jnp.zeros((_round_up(cur_dim, 128), out_pad), dtype)
             mm_ws.append(w_pad.at[:cur_dim, :layer_out].set(w.astype(dtype)))
@@ -483,19 +495,57 @@ def make_fused_grid_kernel(
 def make_fused_grid_decode_fn(specs: Specs, n: int, block: int = 512,
                               interpret: bool = False, dtype=jnp.float32):
     """grid_decode(ctx, idx, origin, voxel) for inference/grid.py, or None if
-    the config can't use the fully fused path (it requires nerf style with
-    raw-xyz features and a single broadcast latent)."""
-    if specs.encode_style != "nerf" or specs.point_feat_size != 3:
+    the config can't use the fully fused path.
+
+    Eligible: a single broadcast latent, with raw-xyz features (nerf style,
+    point_feat_size 3) or any kinematic encode style — the pose-aligned
+    embeddings are affine in xyz per scene, recovered exactly by probing
+    kinematic_embedding at 4 points and folded into the plans.  NeRF
+    positional encoding (point_feat_size > 3 with nerf style) is nonlinear
+    and stays on the generic kernel.
+    """
+    from alignsdf_tpu.ops.embeddings import kinematic_embedding
+
+    style, pfs = specs.encode_style, specs.point_feat_size
+    kinematic = style in ("hand", "obj", "both")
+    if not kinematic and pfs != 3:
         return None
     ls, ns = specs.latent_size, specs.network_specs
     combined = specs.model_type == "1encoder1decoder"
 
+    # per-branch embedding column subsets (separate_decoder_inputs semantics,
+    # reference networks/model.py:285-299)
+    if combined or style == "nerf":
+        cols_h = cols_o = np.arange(pfs)
+    elif style == "hand":
+        cols_h, cols_o = np.arange(pfs), np.array([0, 1, 2])
+    elif style == "obj":
+        cols_h, cols_o = np.array([0, 1, 2]), np.arange(pfs)
+    else:  # both
+        cols_h = np.arange(pfs - 3)
+        cols_o = np.array([0, 1, 2, pfs - 3, pfs - 2, pfs - 1])
+
+    def emb_affine(ctx):
+        """The scene's embedding as emb(xyz) = xyz @ A + b, by probing."""
+        if not kinematic:
+            return jnp.eye(3), jnp.zeros((3,))
+        probes = jnp.concatenate([jnp.zeros((1, 3)), jnp.eye(3)], axis=0)
+        emb = kinematic_embedding(
+            probes, 4, pfs, specs.sdf_scale_factor, style,
+            rot_center=ctx.get("rot_center"),
+            global_trans=ctx.get("global_trans"),
+            obj_trans=ctx.get("obj_trans"),
+        )
+        return emb[1:4] - emb[0][None], emb[0]
+
     def grid_decode(ctx, idx, origin, voxel):
         dp = ctx["decoder_params"]
         latent = ctx["latent"]
+        a_full, b_full = emb_affine(ctx)
+        a_h, b_h = a_full[:, cols_h], b_full[cols_h]
         if combined:
             hand_plan = build_grid_branch_plan(dp["trunk"], "lin", latent, ls,
-                                               ns, 2, dtype)
+                                               a_h, b_h, ns, 2, dtype)
             obj_plan = None
             classifier = (
                 _classifier_pad(dp["trunk"], hand_plan.mm_weights[-1].shape[0],
@@ -503,10 +553,11 @@ def make_fused_grid_decode_fn(specs: Specs, n: int, block: int = 512,
                 if specs.classifier_branch else None
             )
         else:
+            a_o, b_o = a_full[:, cols_o], b_full[cols_o]
             hand_plan = build_grid_branch_plan(dp["hand"], "linh", latent, ls,
-                                               ns, 1, dtype)
+                                               a_h, b_h, ns, 1, dtype)
             obj_plan = build_grid_branch_plan(dp["obj"], "lino", latent, ls,
-                                              ns, 1, dtype)
+                                              a_o, b_o, ns, 1, dtype)
             classifier = (
                 _classifier_pad(dp["hand"], hand_plan.mm_weights[-1].shape[0],
                                 ns, dtype)

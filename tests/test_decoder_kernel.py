@@ -72,10 +72,63 @@ def test_fused_grid_kernel_matches_generic_path(model_type, use_classifier):
 
 
 def test_fused_grid_decode_fn_gated_by_config():
-    assert make_fused_grid_decode_fn(
-        _specs("1encoder2decoder", "both", 9), n=16) is None
+    # NeRF positional encoding is nonlinear -> generic kernel only
     assert make_fused_grid_decode_fn(
         _specs("1encoder2decoder", "nerf", 51), n=16) is None
+    # kinematic styles are affine in xyz -> fusable
+    assert make_fused_grid_decode_fn(
+        _specs("1encoder2decoder", "both", 9), n=16) is not None
+
+
+def _random_rigid(rng, batch, count=None):
+    shape = (batch, count) if count else (batch,)
+    axis = rng.randn(*shape, 3)
+    axis /= np.linalg.norm(axis, axis=-1, keepdims=True)
+    angle = rng.rand(*shape, 1) * 2.0
+    from alignsdf_tpu.ops.rotations import batch_rodrigues
+    rot = np.asarray(batch_rodrigues(jnp.asarray((axis * angle).reshape(-1, 3))))
+    rot = rot.reshape(*shape, 3, 3)
+    tf = np.zeros((*shape, 4, 4), np.float32)
+    tf[..., :3, :3] = rot
+    tf[..., :3, 3] = rng.randn(*shape, 3) * 0.1
+    tf[..., 3, 3] = 1.0
+    return jnp.asarray(tf)
+
+
+@pytest.mark.parametrize("encode_style,pfs", [("hand", 6), ("hand", 51),
+                                              ("obj", 6), ("both", 9)])
+def test_fused_grid_kernel_kinematic_styles(encode_style, pfs):
+    """Affine-embedding folding must match the generic kinematic path."""
+    specs = _specs("1encoder2decoder", encode_style, pfs)
+    dec = SeparateDecoder(specs.latent_size, pfs, encode_style,
+                          specs.network_specs, use_classifier=False)
+    in_dim = specs.latent_size + pfs
+    v = dec.init(jax.random.PRNGKey(5), jnp.zeros((8, in_dim)))
+    rng = np.random.RandomState(7)
+    ctx = {
+        "decoder_params": v["params"],
+        "latent": jax.random.normal(jax.random.PRNGKey(6),
+                                    (1, specs.latent_size)),
+        "rot_center": jnp.asarray(rng.randn(1, 1, 3).astype(np.float32) * 0.05),
+        "global_trans": _random_rigid(rng, 1, 16),
+        "obj_trans": _random_rigid(rng, 1),
+    }
+
+    n = 16
+    decode = make_pallas_decode_fn(specs, block=128, interpret=True)
+    ev_ref = make_grid_evaluator(decode, specs, n, chunk=n ** 3 // 4,
+                                 two_pass=True)
+    gd = make_fused_grid_decode_fn(specs, n, block=128, interpret=True)
+    assert gd is not None
+    ev_fused = make_grid_evaluator(decode, specs, n, chunk=n ** 3 // 4,
+                                   two_pass=True, grid_decode_fn=gd)
+    r0, r1 = ev_ref(ctx), ev_fused(ctx)
+    np.testing.assert_allclose(np.asarray(r0.sdf_hand), np.asarray(r1.sdf_hand),
+                               atol=5e-5)
+    np.testing.assert_allclose(np.asarray(r0.sdf_obj), np.asarray(r1.sdf_obj),
+                               atol=5e-5)
+    np.testing.assert_allclose(np.asarray(r0.origin), np.asarray(r1.origin),
+                               atol=5e-5)
 
 
 def test_bf16_fast_path_close_to_f32():
