@@ -25,7 +25,11 @@ import numpy as np
 
 from alignsdf_tpu import config as cfg
 from alignsdf_tpu.data.dataset import ImagesDataset
-from alignsdf_tpu.inference.reconstruct import Reconstructor, make_output_dirs
+from alignsdf_tpu.inference.reconstruct import (
+    Reconstructor,
+    make_output_dirs,
+    run_pipelined,
+)
 from alignsdf_tpu.models.alignsdf import build_model, full_variables
 from alignsdf_tpu.ops.decoder_kernel import make_pallas_decode_fn
 from alignsdf_tpu.parallel.mesh import make_mesh, maybe_initialize_distributed
@@ -97,13 +101,17 @@ def main(argv=None):
         decode_fn=decode_fn, mano_faces=mano_faces,
     )
 
-    for i in range(len(dataset)):
-        sample = dataset[i]
+    t0 = time.time()
+
+    def log_done(idx, pending):
+        nonlocal t0
+        logger.info("[%d/%d] %s: %.2fs", idx + 1, len(dataset),
+                    pending["sample"]["key"], time.time() - t0)
         t0 = time.time()
-        recon(sample, out_dirs, label_out=args.label_out, viz=args.viz,
-              eval_mode=args.eval_mode, task=args.task)
-        logger.info("[%d/%d] %s: %.2fs", i + 1, len(dataset), sample["key"],
-                    time.time() - t0)
+
+    run_pipelined(recon, dataset, out_dirs, label_out=args.label_out,
+                  viz=args.viz, eval_mode=args.eval_mode, task=args.task,
+                  on_done=log_done)
 
 
 if __name__ == "__main__":

@@ -129,18 +129,51 @@ class Reconstructor:
 
         self._encode = lambda *a: encode(self.variables, *a)
 
-    def __call__(self, sample: Dict[str, np.ndarray], out_dirs: Dict[str, str],
-                 label_out: bool = False, viz: bool = False,
-                 eval_mode: bool = False, task: str = "obman") -> None:
-        specs = self.specs
-        prefix = sample["key"]
-
+    def submit(self, sample: Dict[str, np.ndarray]) -> Dict[str, Any]:
+        """Dispatch the device work for one image (encode + sharded grid
+        eval) WITHOUT forcing any host transfer.  Returns a pending record
+        for finalize(); submit(i+1) can overlap device compute with
+        finalize(i)'s host-side marching cubes / exports."""
         latent, mano_results, obj_results = self._encode(
             jnp.asarray(sample["image"])[None],
             jnp.asarray(sample["cam_intr"])[None],
             jnp.asarray(sample["mano_root"]).reshape(1, -1),
             jnp.asarray(sample["rest_obj_corners"])[None],
         )
+        ctx: Dict[str, Any] = {
+            "params": self.variables["params"],
+            "decoder_params": self.variables["params"]["decoder"],
+            "latent": latent,
+        }
+        if mano_results is not None and self.specs.encode_style != "nerf":
+            ctx["rot_center"] = mano_results["rot_center"]
+            ctx["global_trans"] = mano_results["global_trans"]
+        if obj_results is not None:
+            ctx["obj_trans"] = obj_results["obj_trans"]
+        result = self.evaluate_grid(ctx)
+        return {
+            "sample": sample,
+            "ctx": ctx,
+            "mano_results": mano_results,
+            "obj_results": obj_results,
+            "grid": result,
+        }
+
+    def __call__(self, sample: Dict[str, np.ndarray], out_dirs: Dict[str, str],
+                 label_out: bool = False, viz: bool = False,
+                 eval_mode: bool = False, task: str = "obman") -> None:
+        self.finalize(self.submit(sample), out_dirs, label_out=label_out,
+                      viz=viz, eval_mode=eval_mode, task=task)
+
+    def finalize(self, pending: Dict[str, Any], out_dirs: Dict[str, str],
+                 label_out: bool = False, viz: bool = False,
+                 eval_mode: bool = False, task: str = "obman") -> None:
+        """Host side of one image: exports, marching cubes, ICP, labels."""
+        specs = self.specs
+        sample = pending["sample"]
+        prefix = sample["key"]
+        mano_results = pending["mano_results"]
+        obj_results = pending["obj_results"]
 
         # --- MANO mesh + parameter export (reference utils/utils.py:579-589)
         if mano_results is not None:
@@ -181,19 +214,8 @@ class Reconstructor:
             with open(os.path.join(out_dirs["obj_dir"], prefix + ".json"), "w") as f:
                 json.dump(obj_para, f)
 
-        # --- grid evaluation context
-        ctx: Dict[str, Any] = {
-            "params": self.variables["params"],
-            "decoder_params": self.variables["params"]["decoder"],
-            "latent": latent,
-        }
-        if mano_results is not None and specs.encode_style != "nerf":
-            ctx["rot_center"] = mano_results["rot_center"]
-            ctx["global_trans"] = mano_results["global_trans"]
-        if obj_results is not None:
-            ctx["obj_trans"] = obj_results["obj_trans"]
-
-        result: GridResult = jax.block_until_ready(self.evaluate_grid(ctx))
+        ctx = pending["ctx"]
+        result: GridResult = pending["grid"]
         origin = np.asarray(result.origin)
         voxel = float(result.voxel_size)
 
@@ -249,6 +271,30 @@ class Reconstructor:
         _, _, logits = self.model.apply({"params": ctx["params"]}, inputs,
                                         method=self.model.decode_points)
         return np.asarray(jnp.argmax(logits, axis=-1))
+
+
+def run_pipelined(recon: Reconstructor, samples, out_dirs: Dict[str, str],
+                  label_out: bool = False, viz: bool = False,
+                  eval_mode: bool = False, task: str = "obman",
+                  on_done: Optional[Callable[[int, Dict[str, Any]], None]] = None
+                  ) -> int:
+    """Reconstruct a sequence with one-image lookahead: image i+1's device
+    work (encode + sharded grid eval) is dispatched before image i's host
+    work (marching cubes, ICP, exports) — JAX's async dispatch overlaps the
+    two.  Returns the number of images processed."""
+    pending, pending_idx = None, -1
+    count = 0
+    n = len(samples)
+    for i in range(n + 1):
+        nxt = recon.submit(samples[i]) if i < n else None
+        if pending is not None:
+            recon.finalize(pending, out_dirs, label_out=label_out, viz=viz,
+                           eval_mode=eval_mode, task=task)
+            count += 1
+            if on_done is not None:
+                on_done(pending_idx, pending)
+        pending, pending_idx = nxt, i
+    return count
 
 
 def make_output_dirs(output_dir: str) -> Dict[str, str]:

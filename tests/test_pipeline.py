@@ -122,3 +122,20 @@ def test_reconstruction_end_to_end(tmp_path):
     # the random-init SDF may or may not cross zero; at minimum the grid ran
     # and mano/object artifacts exist
     assert os.path.isfile(os.path.join(out_dirs["obj_dir"], "test0.json"))
+
+    # pipelined driver (one-image lookahead, the CLI loop) over 3 samples
+    from alignsdf_tpu.inference.reconstruct import run_pipelined
+
+    samples = []
+    for k in range(3):
+        s = dict(sample)
+        s["key"] = f"pipe{k}"
+        s["image"] = rng.rand(64, 64, 3).astype(np.float32)
+        samples.append(s)
+    done = []
+    n = run_pipelined(recon, samples, out_dirs, task="obman",
+                      on_done=lambda i, p: done.append(p["sample"]["key"]))
+    assert n == 3 and done == ["pipe0", "pipe1", "pipe2"]
+    for k in range(3):
+        assert os.path.isfile(os.path.join(out_dirs["obj_dir"], f"pipe{k}.json"))
+        assert os.path.isfile(os.path.join(out_dirs["pred_mano"], f"pipe{k}.json"))
