@@ -169,6 +169,78 @@ def test_compute_chamfer_matches_reference(monkeypatch, optim, rot):
     assert abs(our_val - ref_val) < 1e-6, (our_val, ref_val)
 
 
+def test_evaluate_driver_modes(tmp_path):
+    """End-to-end evaluate() in every mode on tiny synthetic workspaces:
+    mesh selection (reference evaluate.py:48-60), key discovery, summary
+    files, and best/worst artifact copies."""
+    from alignsdf_tpu.eval.evaluate import evaluate
+
+    rng = np.random.RandomState(1)
+
+    def ball(c, r):
+        v = rng.randn(30, 3)
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        f = np.array([[i, (i + 1) % 30, (i + 2) % 30] for i in range(28)],
+                     np.int64)
+        return TriMesh(v * r + np.asarray(c), f)
+
+    out = str(tmp_path / "Eval_obman")
+    gt = str(tmp_path / "gt")
+    for d in ("meshes", "pred_mano", "object"):
+        os.makedirs(os.path.join(out, d))
+    for d in ("mesh_hand", "mesh_obj", "meta", "rgb"):
+        os.makedirs(os.path.join(gt, d))
+
+    keys = ["00000001", "00000002"]
+    for key in keys:
+        ball([0, 0, 0.1], 0.08).export(os.path.join(out, "meshes", key + "_hand.ply"))
+        ball([0, 0, 0.1], 0.081).export(os.path.join(gt, "mesh_hand", key + ".obj"))
+        ball([0.1, 0, 0.1], 0.05).export(os.path.join(out, "meshes", key + "_obj.ply"))
+        ball([0.1, 0, 0.1], 0.052).export(os.path.join(gt, "mesh_obj", key + ".obj"))
+        ball([0, 0, 0.1], 0.079).export(os.path.join(out, "pred_mano", key + ".ply"))
+        ball([0, 0, 0.1], 0.08).export(os.path.join(out, "pred_mano", key + "_hand.ply"))
+        meta = {
+            "coords_3d": rng.randn(21, 3) * 0.05,
+            "verts_3d": rng.randn(778, 3) * 0.05,
+            "affine_transform": np.vstack([
+                np.hstack([np.eye(3), rng.randn(3, 1) * 0.1]), [[0, 0, 0, 1]]]),
+            "obj_corners_3d": rng.randn(9, 3) * 0.08,
+        }
+        with open(os.path.join(gt, "meta", key + ".pkl"), "wb") as f:
+            pickle.dump(meta, f)
+        with open(os.path.join(out, "pred_mano", key + ".json"), "w") as f:
+            json.dump({"joints": (rng.randn(21, 3) * 0.05).tolist(),
+                       "vertices": (rng.randn(778, 3) * 0.05).tolist()}, f)
+        with open(os.path.join(out, "object", key + ".json"), "w") as f:
+            json.dump({
+                "obj_corners": (rng.randn(8, 3) * 0.08).tolist(),
+                "obj_trans": np.vstack([
+                    np.hstack([np.eye(3), rng.randn(3, 1) * 0.1]),
+                    [[0, 0, 0, 1]]]).tolist()}, f)
+
+    # default hand mode, keys discovered from the workspace
+    s = evaluate(out, "obman", keys=None, data_root=gt, workers=1)
+    assert s["chamfer_count"] == 2 and s["failure_count"] == 0
+    assert os.path.isfile(os.path.join(out, "chamfer_hand.txt"))
+    assert os.listdir(os.path.join(out, "worst_hand"))  # extremes copied
+
+    # mano mode evaluates the MANO mesh + errors
+    s = evaluate(out, "obman", keys=keys, data_root=gt, mano=True, workers=1)
+    assert s["joint_err_count"] == 2 and "vert_err_mean" in s
+    assert os.path.isfile(os.path.join(out, "chamfer_mano.txt"))
+
+    # obj mode: object chamfer + center/corner errors
+    s = evaluate(out, "obman", keys=keys, data_root=gt, obj=True, optim=True,
+                 workers=1)
+    assert s["obj_center_err_count"] == 2 and s["chamfer_count"] == 2
+    assert os.path.isfile(os.path.join(out, "chamfer_obj.txt"))
+
+    # fit mode: SDF hand mesh vs MANO hand mesh
+    s = evaluate(out, "obman", keys=keys, data_root=gt, fit=True, workers=1)
+    assert s["chamfer_count"] == 2
+    assert os.path.isfile(os.path.join(out, "fit.txt"))
+
+
 def test_error_formulas_match_reference(tmp_path):
     """MANO joint/vert + object center/corner errors vs the reference's
     formulas (evaluate.py:67-107), computed inline on the same fixtures."""
