@@ -36,7 +36,7 @@ def main(argv=None):
     parser.add_argument("--data_root", default=None)
     args = parser.parse_args(argv)
 
-    logging.basicConfig(level=logging.INFO,
+    logging.basicConfig(force=True, level=logging.INFO,
                         format="AlignSDF-TPU - %(levelname)s - %(message)s")
 
     from alignsdf_tpu.eval.evaluate import evaluate

@@ -58,7 +58,7 @@ def main(argv=None):
     parser.add_argument("--data_root", default=None)
     args = parser.parse_args(argv)
 
-    logging.basicConfig(level=logging.INFO,
+    logging.basicConfig(force=True, level=logging.INFO,
                         format="AlignSDF-TPU - %(levelname)s - %(message)s")
     maybe_initialize_distributed()
     mesh = make_mesh()

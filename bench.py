@@ -64,14 +64,20 @@ def bench_train():
     step = jax.jit(make_train_step(model, specs, opt), donate_argnums=(0,))
     b = specs.scenes_per_batch
     batch = {k: jnp.asarray(v) for k, v in synthetic_train_batch(specs, batch_size=b).items()}
+    rng = jax.random.key(0, impl="rbg")  # TPU-native dropout stream (cli/train.py)
     state, losses = step(state, batch, rng)
     float(losses["total"])
+    # chain K steps with no host fetch in between (the sandbox relay costs
+    # ~100ms per fetch round-trip, which would dominate a per-step timing);
+    # one reduction fetch at the end forces the whole chain
+    k = 10
     times = []
-    for i in range(5):
+    for i in range(3):
         t0 = time.time()
-        state, losses = step(state, batch, jax.random.fold_in(rng, i))
+        for j in range(k):
+            state, losses = step(state, batch, jax.random.fold_in(rng, i * k + j))
         float(losses["total"])
-        times.append(time.time() - t0)
+        times.append((time.time() - t0) / k)
     sps = b / min(times)
     # reference anchor: torch DDP on A100 for this model/batch is ~250
     # samples/s/GPU (estimate; repo publishes none — BASELINE.md)
