@@ -108,6 +108,11 @@ class Specs:
     random_seed: Optional[int] = None
     gradient_clip_norm: Optional[float] = None
     remat: bool = False  # rematerialize ResNet blocks (memory for FLOPs)
+    # Matmul/conv compute dtype ("float32" | "bfloat16").  bfloat16 halves the
+    # HBM activation traffic on the MXU hot path; parameters, BatchNorm
+    # statistics, the MANO kinematics, the object-pose solve, and all losses
+    # stay float32 (see models/*.py).  float32 is the bit-parity default.
+    compute_dtype: str = "float32"
     network_specs: NetworkSpecs = field(default_factory=NetworkSpecs)
     lr_schedules: Tuple[LearningRateSchedule, ...] = (LearningRateSchedule(),)
 
@@ -220,6 +225,7 @@ _KEY_MAP = {
     "RandomSeed": "random_seed",
     "GradientClipNorm": "gradient_clip_norm",
     "Remat": "remat",
+    "ComputeDtype": "compute_dtype",
 }
 
 _NS_KEY_MAP = {
@@ -323,6 +329,8 @@ def add_train_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--lr", type=float, default=None)
     parser.add_argument("--lr_interval", type=int, default=None)
     parser.add_argument("--lr_factor", type=float, default=None)
+    parser.add_argument("--bf16", action="store_true", default=False,
+                        help="bfloat16 compute dtype (params/stats/losses f32)")
     for flag, (_, kind) in _CLI_OVERRIDES.items():
         if kind == "flag":
             parser.add_argument(f"--{flag}", action="store_true", default=False)
@@ -345,6 +353,9 @@ def apply_overrides(specs: Specs, args: argparse.Namespace) -> Specs:
                 updates[fname] = (value, value)
             else:
                 updates[fname] = value
+
+    if getattr(args, "bf16", False):
+        updates["compute_dtype"] = "bfloat16"
 
     lr = getattr(args, "lr", None)
     lr_interval = getattr(args, "lr_interval", None)

@@ -30,6 +30,7 @@ class AlignSDF(nn.Module):
 
     def setup(self):
         specs = self.specs
+        dtype = jnp.dtype(specs.compute_dtype)
         self.encoder = make_encoder(
             specs.backbone,
             latent_size=specs.latent_size,
@@ -37,6 +38,7 @@ class AlignSDF(nn.Module):
             use_headnet=specs.use_headnet,
             use_pixel_align=specs.pixel_align,
             remat=specs.remat,
+            dtype=dtype,
         )
         if specs.mano_branch:
             assert self.mano_model is not None, "mano_branch needs a ManoModel"
@@ -54,11 +56,12 @@ class AlignSDF(nn.Module):
             specs.encode_style,
             specs.network_specs,
             specs.classifier_branch,
+            dtype=dtype,
         )
         if specs.use_obj_pose:
             # 1x1 conv: 256ch -> 64 depth-bins heatmap (reference networks/model.py:376-377)
             self.volume_layer = nn.Conv(
-                64, (1, 1), use_bias=True, name="volume_layer"
+                64, (1, 1), use_bias=True, dtype=dtype, name="volume_layer"
             )
 
     def __call__(
@@ -81,7 +84,7 @@ class AlignSDF(nn.Module):
         if specs.use_obj_pose and mano_results is not None:
             heatmaps = self.volume_layer(aux_feat)            # (B, 64, 64, 64) NHWC
             heatmaps = heatmaps.transpose(0, 3, 1, 2)          # -> NCHW depth-first
-            obj_center_2d = soft_argmax(heatmaps)
+            obj_center_2d = soft_argmax(heatmaps.astype(jnp.float32))
             obj_trans, obj_center = get_obj_trans(
                 obj_center_2d,
                 mano_results["center3d"],
@@ -104,7 +107,7 @@ class AlignSDF(nn.Module):
 
         if specs.pixel_align:
             latent = pixel_alignment(
-                aux_feat.transpose(0, 3, 1, 2),  # NCHW for the sampler
+                aux_feat.transpose(0, 3, 1, 2).astype(jnp.float32),  # NCHW
                 xyz,
                 cond_input["cam_intr"],
                 mano_results["joints"][:, 0:1],
@@ -154,7 +157,7 @@ class AlignSDF(nn.Module):
         obj_results = None
         if specs.use_obj_pose and mano_results is not None:
             heatmaps = self.volume_layer(aux_feat).transpose(0, 3, 1, 2)
-            obj_center_2d = soft_argmax(heatmaps)
+            obj_center_2d = soft_argmax(heatmaps.astype(jnp.float32))
             obj_trans, obj_center = get_obj_trans(
                 obj_center_2d, mano_results["center3d"], cond_input["cam_intr"],
                 mano_results["obj_rot"] if specs.use_obj_rot else None,
@@ -168,7 +171,8 @@ class AlignSDF(nn.Module):
                            "obj_trans": obj_trans}
 
         latent = aux_feat if specs.pixel_align else sdf_feat
-        return latent, mano_results, obj_results
+        # grid reconstruction consumes f32 latents regardless of compute dtype
+        return latent.astype(jnp.float32), mano_results, obj_results
 
     def decode_points(self, decoder_inputs, *, train: bool = False,
                       dropout_rng=None):

@@ -18,7 +18,7 @@ is the always-correct XLA reference path and the parameter container.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -28,10 +28,11 @@ from alignsdf_tpu.config import NetworkSpecs
 from alignsdf_tpu.models.layers import TorchLinear, TorchLayerNorm, WeightNormLinear
 
 
-def _linear(use_weight_norm: bool, features: int, name: str):
+def _linear(use_weight_norm: bool, features: int, name: str,
+            dtype: Any = jnp.float32):
     if use_weight_norm:
-        return WeightNormLinear(features, name=name)
-    return TorchLinear(features, name=name)
+        return WeightNormLinear(features, name=name, dtype=dtype)
+    return TorchLinear(features, name=name, dtype=dtype)
 
 
 class _Branch(nn.Module):
@@ -47,6 +48,7 @@ class _Branch(nn.Module):
     prefix: str                     # 'lin' | 'linh' | 'lino' (torch name parity)
     classifier_at_last: bool = False
     num_class: int = 6
+    dtype: Any = jnp.float32        # matmul compute dtype (params stay f32)
 
     @nn.compact
     def __call__(
@@ -58,12 +60,14 @@ class _Branch(nn.Module):
     ):
         specs = self.specs
         num_layers = len(self.dims)
+        x = x.astype(self.dtype)
         inputs = x
         predicted_class = None
 
         for layer in range(num_layers - 1):
             if self.classifier_at_last and layer == num_layers - 2:
-                predicted_class = TorchLinear(self.num_class, name="classifier_head")(x)
+                predicted_class = TorchLinear(
+                    self.num_class, name="classifier_head", dtype=self.dtype)(x)
 
             if layer + 1 in specs.latent_in:
                 out_dim = self.dims[layer + 1] - self.dims[0]
@@ -78,7 +82,8 @@ class _Branch(nn.Module):
                 x = jnp.concatenate([x, inputs], axis=1)
 
             use_wn = specs.weight_norm and layer in specs.norm_layers
-            x = _linear(use_wn, out_dim, f"{self.prefix}{layer}")(x)
+            x = _linear(use_wn, out_dim, f"{self.prefix}{layer}",
+                        dtype=self.dtype)(x)
 
             if layer == num_layers - 2 and specs.use_tanh:
                 x = jnp.tanh(x)
@@ -94,7 +99,10 @@ class _Branch(nn.Module):
                     x = jnp.where(mask, x / keep, 0.0)
 
         x = jnp.tanh(x)  # final th (reference networks/model.py:181-182)
-        return x, predicted_class
+        # SDF values and class logits feed f32 losses / host consumers
+        if predicted_class is not None:
+            predicted_class = predicted_class.astype(jnp.float32)
+        return x.astype(jnp.float32), predicted_class
 
 
 class CombinedDecoder(nn.Module):
@@ -105,6 +113,7 @@ class CombinedDecoder(nn.Module):
     encode_style: str
     specs: NetworkSpecs
     use_classifier: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, inputs, *, train=False, dropout_rng=None):
@@ -115,6 +124,7 @@ class CombinedDecoder(nn.Module):
             prefix="lin",
             classifier_at_last=self.use_classifier,
             num_class=self.specs.num_class,
+            dtype=self.dtype,
             name="trunk",
         )(inputs, train=train, dropout_rng=dropout_rng)
         return x[:, 0:1], x[:, 1:2], predicted_class
@@ -129,6 +139,7 @@ class SeparateDecoder(nn.Module):
     encode_style: str
     specs: NetworkSpecs
     use_classifier: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, inputs, *, train=False, dropout_rng=None):
@@ -162,17 +173,20 @@ class SeparateDecoder(nn.Module):
             prefix="linh",
             classifier_at_last=self.use_classifier,
             num_class=self.specs.num_class,
+            dtype=self.dtype,
             name="hand",
         )(xh, train=train, dropout_rng=hand_rng)
         sdf_obj, _ = _Branch(
-            dims=dims_obj, specs=self.specs, prefix="lino", name="obj"
+            dims=dims_obj, specs=self.specs, prefix="lino", dtype=self.dtype,
+            name="obj",
         )(xo, train=train, dropout_rng=obj_rng)
 
         return sdf_hand, sdf_obj, predicted_class
 
 
 def make_decoder(model_type: str, latent_size: int, point_feat_size: int,
-                 encode_style: str, specs: NetworkSpecs, use_classifier: bool):
+                 encode_style: str, specs: NetworkSpecs, use_classifier: bool,
+                 dtype: Any = jnp.float32):
     """Factory matching reference train.py:333-369."""
     cls = CombinedDecoder if model_type == "1encoder1decoder" else SeparateDecoder
     return cls(
@@ -181,4 +195,5 @@ def make_decoder(model_type: str, latent_size: int, point_feat_size: int,
         encode_style=encode_style,
         specs=specs,
         use_classifier=use_classifier,
+        dtype=dtype,
     )

@@ -52,6 +52,10 @@ class TorchBatchNorm(nn.Module):
             "batch_stats", "var", lambda: jnp.ones((features,), jnp.float32)
         )
 
+        # statistics and normalization always in float32 (running stats stay
+        # f32 under a bfloat16 compute dtype); output in the input dtype
+        out_dtype = x.dtype
+        x = x.astype(jnp.float32)
         if train:
             reduce_axes = tuple(range(x.ndim - 1))
             mean = jnp.mean(x, axis=reduce_axes)
@@ -65,11 +69,11 @@ class TorchBatchNorm(nn.Module):
             mean, var = ra_mean.value, ra_var.value
 
         inv = jax.lax.rsqrt(var + self.epsilon)
-        return (x - mean) * inv * scale + bias
+        return ((x - mean) * inv * scale + bias).astype(out_dtype)
 
 
 def _conv(features: int, kernel: int, stride: int = 1, padding: int = 0,
-          name: Optional[str] = None) -> nn.Conv:
+          name: Optional[str] = None, dtype: Any = jnp.float32) -> nn.Conv:
     return nn.Conv(
         features,
         (kernel, kernel),
@@ -77,6 +81,7 @@ def _conv(features: int, kernel: int, stride: int = 1, padding: int = 0,
         padding=((padding, padding), (padding, padding)),
         use_bias=False,
         kernel_init=nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal"),
+        dtype=dtype,
         name=name,
     )
 
@@ -93,6 +98,7 @@ class TorchConvTranspose(nn.Module):
     kernel_size: int = 4
     stride: int = 2
     padding: int = 1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -107,10 +113,10 @@ class TorchConvTranspose(nn.Module):
         )
         # transposed conv = conv with lhs_dilation=s, per-side pad k-1-p,
         # spatially flipped kernel
-        flipped = kernel[::-1, ::-1]
+        flipped = kernel[::-1, ::-1].astype(self.dtype)
         pad = k - 1 - self.padding
         return jax.lax.conv_general_dilated(
-            x,
+            x.astype(self.dtype),
             flipped,
             window_strides=(1, 1),
             padding=((pad, pad), (pad, pad)),
@@ -126,18 +132,19 @@ class BasicBlock(nn.Module):
     stride: int = 1
     downsample: bool = False
     expansion: int = 1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         residual = x
-        out = _conv(self.features, 3, self.stride, 1, name="conv1")(x)
+        out = _conv(self.features, 3, self.stride, 1, name="conv1", dtype=self.dtype)(x)
         out = TorchBatchNorm(name="bn1")(out, train)
         out = nn.relu(out)
-        out = _conv(self.features, 3, 1, 1, name="conv2")(out)
+        out = _conv(self.features, 3, 1, 1, name="conv2", dtype=self.dtype)(out)
         out = TorchBatchNorm(name="bn2")(out, train)
         if self.downsample:
             residual = _conv(self.features * self.expansion, 1, self.stride, 0,
-                             name="downsample_conv")(x)
+                             name="downsample_conv", dtype=self.dtype)(x)
             residual = TorchBatchNorm(name="downsample_bn")(residual, train)
         return nn.relu(out + residual)
 
@@ -149,21 +156,22 @@ class Bottleneck(nn.Module):
     stride: int = 1
     downsample: bool = False
     expansion: int = 4
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         residual = x
-        out = _conv(self.features, 1, 1, 0, name="conv1")(x)
+        out = _conv(self.features, 1, 1, 0, name="conv1", dtype=self.dtype)(x)
         out = TorchBatchNorm(name="bn1")(out, train)
         out = nn.relu(out)
-        out = _conv(self.features, 3, self.stride, 1, name="conv2")(out)
+        out = _conv(self.features, 3, self.stride, 1, name="conv2", dtype=self.dtype)(out)
         out = TorchBatchNorm(name="bn2")(out, train)
         out = nn.relu(out)
-        out = _conv(self.features * self.expansion, 1, 1, 0, name="conv3")(out)
+        out = _conv(self.features * self.expansion, 1, 1, 0, name="conv3", dtype=self.dtype)(out)
         out = TorchBatchNorm(name="bn3")(out, train)
         if self.downsample:
             residual = _conv(self.features * self.expansion, 1, self.stride, 0,
-                             name="downsample_conv")(x)
+                             name="downsample_conv", dtype=self.dtype)(x)
             residual = TorchBatchNorm(name="downsample_bn")(residual, train)
         return nn.relu(out + residual)
 
@@ -174,11 +182,13 @@ class HeadNet(nn.Module):
 
     out_features: int = 256
     num_layers: int = 3
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         for i in range(self.num_layers):
-            x = TorchConvTranspose(self.out_features, name=f"deconv{i}")(x)
+            x = TorchConvTranspose(self.out_features, name=f"deconv{i}",
+                                   dtype=self.dtype)(x)
             x = TorchBatchNorm(name=f"bn{i}")(x, train)
             x = nn.relu(x)
         return x
@@ -195,9 +205,11 @@ class ResNetEncoder(nn.Module):
     use_headnet: bool = False
     use_pixel_align: bool = False
     remat: bool = False            # jax.checkpoint each residual block
+    dtype: Any = jnp.float32       # conv/matmul compute dtype (params f32)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False):
+        x = x.astype(self.dtype)
         block_cls = BasicBlock if self.block == "basic" else Bottleneck
         if self.remat and not self.is_initializing():
             # rematerialize each residual block's activations in backward
@@ -205,7 +217,7 @@ class ResNetEncoder(nn.Module):
             block_cls = nn.remat(block_cls, static_argnums=(2,))
         expansion = 1 if self.block == "basic" else 4
 
-        x = _conv(64, 7, 2, 3, name="conv1")(x)
+        x = _conv(64, 7, 2, 3, name="conv1", dtype=self.dtype)(x)
         x = TorchBatchNorm(name="bn1")(x, train)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
@@ -219,12 +231,13 @@ class ResNetEncoder(nn.Module):
                 s = stride if b == 0 else 1
                 needs_down = b == 0 and (s != 1 or in_features != features * expansion)
                 x = block_cls(
-                    features, s, downsample=needs_down,
+                    features, s, downsample=needs_down, dtype=self.dtype,
                     name=f"layer{stage + 1}_{b}",
                 )(x, train)
                 in_features = features * expansion
 
-        gap = x.mean(axis=(1, 2))  # (B, 512*expansion)
+        # global average pool in f32 (cheap; the MANO branch and fc consume it)
+        gap = x.astype(jnp.float32).mean(axis=(1, 2))  # (B, 512*expansion)
 
         mano_feat = gap if self.mano_features else None
 
@@ -232,11 +245,12 @@ class ResNetEncoder(nn.Module):
         if not (self.use_headnet and self.use_pixel_align):
             from alignsdf_tpu.models.layers import TorchLinear
 
-            sdf_feat = TorchLinear(self.latent_size, name="fc")(gap)
+            sdf_feat = TorchLinear(self.latent_size, name="fc",
+                                   dtype=self.dtype)(gap)
 
         aux_feat = None
         if self.use_headnet:
-            aux_feat = HeadNet(name="aux_layer")(x, train)
+            aux_feat = HeadNet(name="aux_layer", dtype=self.dtype)(x, train)
 
         return sdf_feat, mano_feat, aux_feat
 
@@ -252,7 +266,7 @@ _ARCHS = {
 
 def make_encoder(backbone: str, latent_size: int, mano_features: bool,
                  use_headnet: bool, use_pixel_align: bool,
-                 remat: bool = False) -> ResNetEncoder:
+                 remat: bool = False, dtype: Any = jnp.float32) -> ResNetEncoder:
     """Factory matching reference networks/model.py:54-76."""
     block, layers = _ARCHS[backbone]
     return ResNetEncoder(
@@ -263,4 +277,5 @@ def make_encoder(backbone: str, latent_size: int, mano_features: bool,
         use_headnet=use_headnet,
         use_pixel_align=use_pixel_align,
         remat=remat,
+        dtype=dtype,
     )

@@ -56,6 +56,7 @@ def bench_train():
         scenes_per_batch=64, hand_sdf_weight=0.5, obj_sdf_weight=0.5,
         joint_weight=0.5, shape_reg_weight=5e-7, pose_reg_weight=5e-5,
         network_specs=NS(),
+        compute_dtype="bfloat16" if "--bf16" in sys.argv else "float32",
     )
     model = build_model(specs)
     opt = make_optimizer(specs)
