@@ -163,7 +163,10 @@ def main(argv: Optional[list] = None) -> None:
     if args.slurm:
         install_slurm_requeue_handler()
 
-    metrics_path = os.path.join(experiment_dir, "metrics.jsonl")
+    from alignsdf_tpu.training.train_state import learning_rate_for_epoch
+    from alignsdf_tpu.utils.metrics import MetricsLogger
+
+    metrics = MetricsLogger(experiment_dir, enabled=jax.process_index() == 0)
     log_step = 0
     for epoch in range(start_epoch, specs.num_epochs + 1):
         loader.set_epoch(epoch)
@@ -179,8 +182,11 @@ def main(argv: Optional[list] = None) -> None:
                         f"{k}={v * 1000:.3f}e-3" for k, v in sorted(vals.items())
                     ), epoch, log_step,
                 )
-                with open(metrics_path, "a") as f:
-                    f.write(json.dumps({"epoch": epoch, "step": log_step, **vals}) + "\n")
+                metrics.log_step(epoch, log_step, vals)
+        metrics.log_epoch(
+            epoch, float(learning_rate_for_epoch(specs, jnp.asarray(epoch))),
+            time.time() - start,
+        )
         logger.info("epoch %d time: %.1fs", epoch, time.time() - start)
 
         if epoch % specs.log_frequency == 0:
@@ -191,6 +197,7 @@ def main(argv: Optional[list] = None) -> None:
             ckpt.save_checkpoint(experiment_dir, state, epoch, str(epoch))
 
     ckpt.save_checkpoint(experiment_dir, state, specs.num_epochs, "latest")
+    metrics.close()
     logger.info("training complete: %s", experiment_dir)
 
 
