@@ -80,6 +80,9 @@ def main(argv: Optional[list] = None) -> None:
                         help="use threefry for dropout instead of rbg")
     parser.add_argument("--slurm", action="store_true",
                         help="install the SLURM SIGUSR1 requeue handler")
+    parser.add_argument("--profile_steps", type=int, default=0,
+                        help="capture a jax.profiler device trace of steps "
+                             "[10, 10+N) into <exp>/profile (XProf/TensorBoard)")
     cfg.add_train_args(parser)
     args = parser.parse_args(argv)
 
@@ -167,12 +170,24 @@ def main(argv: Optional[list] = None) -> None:
     from alignsdf_tpu.utils.metrics import MetricsLogger
 
     metrics = MetricsLogger(experiment_dir, enabled=jax.process_index() == 0)
+    profile_at = (10, 10 + args.profile_steps) if args.profile_steps else None
+    profiling = False
     log_step = 0
     for epoch in range(start_epoch, specs.num_epochs + 1):
         loader.set_epoch(epoch)
         state = state.replace(epoch=jnp.asarray(epoch, jnp.int32))
         start = time.time()
         for i, batch in enumerate(loader):
+            if profile_at and jax.process_index() == 0:
+                if log_step == profile_at[0] and not profiling:
+                    jax.profiler.start_trace(os.path.join(experiment_dir, "profile"))
+                    profiling = True
+                elif log_step == profile_at[1] and profiling:
+                    jax.block_until_ready(state.params)
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    logger.info("profile trace written to %s",
+                                os.path.join(experiment_dir, "profile"))
             state, losses = step_jit(state, batch, jax.random.fold_in(rng, log_step))
             log_step += 1
             if jax.process_index() == 0 and log_step % specs.log_frequency_step == 0:

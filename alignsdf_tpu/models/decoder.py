@@ -95,8 +95,13 @@ class _Branch(nn.Module):
                     assert dropout_rng is not None, "training dropout needs an rng"
                     key = jax.random.fold_in(dropout_rng, layer)
                     keep = 1.0 - specs.dropout_prob
-                    mask = jax.random.bernoulli(key, keep, x.shape)
-                    x = jnp.where(mask, x / keep, 0.0)
+                    # threshold raw uint16 bits instead of a f32 uniform draw:
+                    # P(bits <= t) = (t+1)/65536, within 4e-6 of keep, at half
+                    # the PRNG words — the masks are the train step's largest
+                    # random volume (8 x (B*N, 512) per step)
+                    bits = jax.random.bits(key, x.shape, jnp.uint16)
+                    thresh = jnp.uint16(int(round(keep * 65536.0)) - 1)
+                    x = jnp.where(bits <= thresh, x / keep, 0.0)
 
         x = jnp.tanh(x)  # final th (reference networks/model.py:181-182)
         # SDF values and class logits feed f32 losses / host consumers

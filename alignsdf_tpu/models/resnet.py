@@ -99,6 +99,7 @@ class TorchConvTranspose(nn.Module):
     stride: int = 2
     padding: int = 1
     dtype: Any = jnp.float32
+    phase_decomposed: bool = False  # k4/s2/p1 only: 4 phase convs, no zeros
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -111,6 +112,8 @@ class TorchConvTranspose(nn.Module):
             lambda key, shape: jax.random.uniform(key, shape, jnp.float32, -bound, bound),
             (k, k, in_features, self.features),
         )
+        if self.phase_decomposed and k == 4 and self.stride == 2 and self.padding == 1:
+            return self._phase(x.astype(self.dtype), kernel.astype(self.dtype))
         # transposed conv = conv with lhs_dilation=s, per-side pad k-1-p,
         # spatially flipped kernel
         flipped = kernel[::-1, ::-1].astype(self.dtype)
@@ -123,6 +126,29 @@ class TorchConvTranspose(nn.Module):
             lhs_dilation=(self.stride, self.stride),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
+
+    @staticmethod
+    def _phase(x: jax.Array, kernel: jax.Array) -> jax.Array:
+        """ConvTranspose(k4,s2,p1) as 4 phase convs with 2x2 taps + interleave:
+        out[2y+dy, 2x+dx] = sum_{t,u} x[y-t, x-u] * W[dy+1+2t, dx+1+2u]
+        (exact — the dilated form sums the same products plus zeros)."""
+        spec = {0: ((3, 1), (1, 0)), 1: ((2, 0), (0, 1))}
+        rows = []
+        for dy in (0, 1):
+            ky, py = spec[dy]
+            cols = []
+            for dx in (0, 1):
+                kx, px = spec[dx]
+                kk = jnp.stack([
+                    jnp.stack([kernel[ky[a], kx[b]] for b in (0, 1)], axis=0)
+                    for a in (0, 1)], axis=0)  # (2, 2, I, O)
+                cols.append(jax.lax.conv_general_dilated(
+                    x, kk, (1, 1), (py, px),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC")))
+            rows.append(cols)
+        b, h, w, o = rows[0][0].shape
+        out = jnp.stack([jnp.stack(r, axis=0) for r in rows], axis=0)
+        return out.transpose(2, 3, 0, 4, 1, 5).reshape(b, 2 * h, 2 * w, o)
 
 
 class BasicBlock(nn.Module):
