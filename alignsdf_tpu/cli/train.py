@@ -92,6 +92,12 @@ def main(argv: Optional[list] = None) -> None:
     with open(args.cfg) as f:
         specs = cfg.specs_from_dict(json.load(f))
     specs = cfg.apply_overrides(specs, args)
+    if specs.scale_aug:
+        logger.warning(
+            "ScaleAug is accepted for spec compatibility but not implemented "
+            "(the reference stores it and never consults it, networks/model.py:359); "
+            "ignoring"
+        )
 
     maybe_initialize_distributed()
     mesh = make_mesh()

@@ -64,6 +64,9 @@ class Specs:
     latent_size: int = 256
     point_feat_size: int = 3
     encode_style: str = "nerf"
+    # Accepted for spec-JSON compatibility only: the reference stores ScaleAug
+    # on the model (reference networks/model.py:359) but no code path consults
+    # it; the train CLI warns if it is enabled.
     scale_aug: bool = False
     pose_feat_size: int = 15
     snapshot_frequency: int = 500
@@ -71,6 +74,10 @@ class Specs:
     log_frequency_step: int = 10
     num_epochs: int = 1600
     resume: str = "latest.pth"
+    # "bn" freezes BatchNorm running statistics during training (momentum-0
+    # semantics of the reference's freeze_batchnorm_stats, reference
+    # networks/model.py:24-30: normalize with batch stats, never update the
+    # running buffers).  "none" = normal training.
     freeze: str = "none"
     pixel_align: bool = False
     additional_snapshots: Tuple[int, ...] = (100, 500)
@@ -105,6 +112,11 @@ class Specs:
     contact_loss_weight: float = 0.005
     disable_aug: bool = False
     background_aug: bool = False
+    # Synthetic-occlusion augmentation.  The reference *samples* do_occlusion
+    # in get_aug_config but hard-passes False to generate_patch_image in the
+    # train dataset (reference utils/data.py:132,142), so occlusion is
+    # effectively off; keep parity by default and expose it as an opt-in flag.
+    occlusion_aug: bool = False
     random_seed: Optional[int] = None
     gradient_clip_norm: Optional[float] = None
     remat: bool = False  # rematerialize ResNet blocks (memory for FLOPs)
@@ -222,6 +234,7 @@ _KEY_MAP = {
     "ContactLossWeight": "contact_loss_weight",
     "DisableAug": "disable_aug",
     "BackgroundAug": "background_aug",
+    "OcclusionAug": "occlusion_aug",
     "RandomSeed": "random_seed",
     "GradientClipNorm": "gradient_clip_norm",
     "Remat": "remat",
@@ -310,6 +323,7 @@ _CLI_OVERRIDES = {
     "penw": ("penetration_loss_weight", float),
     "conw": ("contact_loss_weight", float),
     "no_aug": ("disable_aug", "flag"),
+    "occlusion": ("occlusion_aug", "flag"),
     "render": ("render", "flag"),
     "lmdb": ("lmdb", "flag"),
     "resume": ("resume", str),

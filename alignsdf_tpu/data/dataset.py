@@ -96,9 +96,12 @@ class SDFDataset:
         cam_intr[1, 1] /= img_scale
         cam_intr[1, 2] = cam_intr[1, 2] / img.shape[0] * image_size[0]
 
+        # reference utils/data.py:142 hard-passes False for occlusion in the
+        # train dataset; it is only applied here when explicitly opted in
         patch, _ = I.generate_patch_image(
             img, crop_box, image_size, do_flip, img_scale, rot,
-            do_occlusion and not (self.deterministic or specs.disable_aug),
+            do_occlusion and specs.occlusion_aug
+            and not (self.deterministic or specs.disable_aug),
             rng=rng, np_rng=np_rng,
         )
         encoder_input = I.normalize_image(patch)  # (H, W, 3) NHWC

@@ -157,9 +157,11 @@ class PackedSDFDataset:
                     image_size[1], image_size[0]]
         cam_intr[0, 2] = cam_intr[0, 2] / img.shape[1] * image_size[1]
         cam_intr[1, 2] = cam_intr[1, 2] / img.shape[0] * image_size[0]
+        # occlusion off by default (reference utils/data.py:142 passes False)
         patch, _ = I.generate_patch_image(
             img, crop_box, image_size, False, 1.0, rot,
-            do_occlusion and not (self.deterministic or specs.disable_aug),
+            do_occlusion and specs.occlusion_aug
+            and not (self.deterministic or specs.disable_aug),
             rng=rng, np_rng=np_rng)
         encoder_input = I.normalize_image(patch)
 

@@ -121,10 +121,11 @@ class Reconstructor:
         )
 
         @jax.jit
-        def encode(vars_, image, cam_intr, mano_root, rest_obj_corners):
+        def encode(vars_, image, cam_intr, mano_root, rest_obj_corners,
+                   points=None):
             return model.apply(
                 vars_, image, cam_intr, mano_root, rest_obj_corners,
-                method=model.encode_scene,
+                points=points, method=model.encode_scene,
             )
 
         self._encode = lambda *a: encode(self.variables, *a)
@@ -134,11 +135,13 @@ class Reconstructor:
         eval) WITHOUT forcing any host transfer.  Returns a pending record
         for finalize(); submit(i+1) can overlap device compute with
         finalize(i)'s host-side marching cubes / exports."""
+        points = sample.get("points")
         latent, mano_results, obj_results = self._encode(
             jnp.asarray(sample["image"])[None],
             jnp.asarray(sample["cam_intr"])[None],
             jnp.asarray(sample["mano_root"]).reshape(1, -1),
             jnp.asarray(sample["rest_obj_corners"])[None],
+            jnp.asarray(points)[None] if points is not None else None,
         )
         ctx: Dict[str, Any] = {
             "params": self.variables["params"],

@@ -28,6 +28,10 @@ class AlignSDF(nn.Module):
     specs: Specs
     mano_model: Optional[ManoModel] = None
 
+    @property
+    def _point_encoder(self) -> bool:
+        return self.specs.backbone in ("pointnet", "resnet_pointnet")
+
     def setup(self):
         specs = self.specs
         dtype = jnp.dtype(specs.compute_dtype)
@@ -74,7 +78,13 @@ class AlignSDF(nn.Module):
         dropout_rng: Optional[jax.Array] = None,
     ):
         specs = self.specs
-        sdf_feat, mano_feat, aux_feat = self.encoder(image, train=train)
+        if self._point_encoder:
+            # point-cloud backbones condition on the per-scene query cloud
+            # itself (Occupancy-Networks-style self-conditioning)
+            pts = xyz.reshape(image.shape[0], -1, 3)
+            sdf_feat, mano_feat, aux_feat = self.encoder(pts, train=train)
+        else:
+            sdf_feat, mano_feat, aux_feat = self.encoder(image, train=train)
 
         mano_results = None
         if specs.mano_branch:
@@ -142,11 +152,21 @@ class AlignSDF(nn.Module):
         return sdf_hand, sdf_obj, pred_class, mano_results, obj_results
 
 
-    def encode_scene(self, image, cam_intr, mano_root, rest_obj_corners):
+    def encode_scene(self, image, cam_intr, mano_root, rest_obj_corners,
+                     points=None):
         """Image -> (latent, mano_results, obj_results) for grid reconstruction
-        (reference utils/utils.py:575-625 decode_model_output, minus file IO)."""
+        (reference utils/utils.py:575-625 decode_model_output, minus file IO).
+        Point-cloud backbones condition on ``points`` (B, T, 3) instead of the
+        image."""
         specs = self.specs
-        sdf_feat, mano_feat, aux_feat = self.encoder(image, train=False)
+        if self._point_encoder:
+            if points is None:
+                raise ValueError(
+                    "pointnet backbones need an observed point cloud "
+                    "(sample['points']) to encode the scene")
+            sdf_feat, mano_feat, aux_feat = self.encoder(points, train=False)
+        else:
+            sdf_feat, mano_feat, aux_feat = self.encoder(image, train=False)
 
         cond_input = {"cam_intr": cam_intr, "mano_root": mano_root,
                       "rest_obj_corners": rest_obj_corners}

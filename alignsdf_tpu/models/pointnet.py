@@ -87,3 +87,24 @@ class ResnetPointnet(nn.Module):
         net = ResnetBlockFC(h, name="block_4")(net)
         net = jnp.max(net, axis=1)
         return TorchLinear(self.c_dim, name="fc_c")(nn.relu(net))
+
+
+class PointNetEncoder(nn.Module):
+    """Drop-in scene encoder over a point cloud: same (sdf_feat, mano_feat,
+    aux_feat) triple as ResNetEncoder so ``Backbone: pointnet`` /
+    ``resnet_pointnet`` slot into the full model (SURVEY §2.1: the reference
+    ships these encoders, networks/pointnet.py:58-157, without wiring them;
+    here they are selectable through make_encoder).  Point-cloud conditioning
+    has no image features, so mano/headnet/pixel-align branches are
+    unavailable with these backbones (enforced in make_encoder)."""
+
+    arch: str = "resnet_pointnet"          # 'pointnet' | 'resnet_pointnet'
+    latent_size: int = 256
+    hidden_dim: int = 128
+
+    @nn.compact
+    def __call__(self, points: jax.Array, train: bool = False):
+        cls = SimplePointnet if self.arch == "pointnet" else ResnetPointnet
+        feat = cls(c_dim=self.latent_size, hidden_dim=self.hidden_dim,
+                   name="pointnet")(points)
+        return feat, None, None

@@ -292,8 +292,19 @@ _ARCHS = {
 
 def make_encoder(backbone: str, latent_size: int, mano_features: bool,
                  use_headnet: bool, use_pixel_align: bool,
-                 remat: bool = False, dtype: Any = jnp.float32) -> ResNetEncoder:
-    """Factory matching reference networks/model.py:54-76."""
+                 remat: bool = False, dtype: Any = jnp.float32):
+    """Factory matching reference networks/model.py:54-76, extended with the
+    PointNet encoders the reference ships unwired (networks/pointnet.py)."""
+    if backbone in ("pointnet", "resnet_pointnet"):
+        if mano_features or use_headnet or use_pixel_align:
+            raise ValueError(
+                f"Backbone {backbone!r} encodes a point cloud and provides no "
+                "image features: ManoBranch/ObjectPoseBranch/PixelAlign/Render "
+                "require a resnet backbone"
+            )
+        from alignsdf_tpu.models.pointnet import PointNetEncoder
+
+        return PointNetEncoder(arch=backbone, latent_size=latent_size)
     block, layers = _ARCHS[backbone]
     return ResNetEncoder(
         block=block,

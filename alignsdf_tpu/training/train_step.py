@@ -89,6 +89,10 @@ def make_train_step(model: AlignSDF, specs: Specs, optimizer: optax.GradientTran
         (loss, (losses, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
+        if specs.freeze == "bn":
+            # momentum-0 BN-stat freeze (reference networks/model.py:24-30):
+            # normalization used batch stats above; running buffers unchanged
+            new_stats = state.batch_stats
 
         updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
         lr = learning_rate_for_epoch(specs, state.epoch)
