@@ -32,7 +32,8 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from alignsdf_tpu import config as cfg
-from alignsdf_tpu.data.dataset import SDFDataset, to_train_batch
+from alignsdf_tpu.data import make_train_dataset
+from alignsdf_tpu.data.dataset import to_train_batch
 from alignsdf_tpu.data.loader import DataLoader
 from alignsdf_tpu.models.alignsdf import build_model
 from alignsdf_tpu.parallel.mesh import make_mesh, maybe_initialize_distributed
@@ -73,6 +74,9 @@ def main(argv: Optional[list] = None) -> None:
     parser.add_argument("-e", dest="cfg", required=True, help="experiment spec json")
     parser.add_argument("--continue", dest="continue_from", default=None)
     parser.add_argument("--data_root", default=None)
+    parser.add_argument("--packed", default=None,
+                        help="ASDF-pack file (native data path); overrides "
+                             "the spec's lmdb/npz backend selection")
     parser.add_argument("--output_root", default="outputs")
     parser.add_argument("--smoke", action="store_true",
                         help="2 steps on synthetic data; no checkpoints")
@@ -125,6 +129,10 @@ def main(argv: Optional[list] = None) -> None:
 
     start_epoch = 1
     if not args.smoke:
+        # spec Resume warm start (external checkpoint, non-strict —
+        # reference train.py:406-409); a later --continue overrides it
+        if specs.resume and os.path.exists(specs.resume):
+            state = ckpt.warm_start(state, specs.resume)
         name = args.continue_from or (
             "latest" if ckpt.checkpoint_exists(experiment_dir) else None
         )
@@ -154,15 +162,21 @@ def main(argv: Optional[list] = None) -> None:
         logger.info("smoke OK")
         return
 
-    with open(specs.train_split) as f:
-        split = json.load(f)
-    dataset = SDFDataset(specs, split["train"], data_root=args.data_root)
+    split_keys = None
+    if specs.train_split:
+        with open(specs.train_split) as f:
+            split_keys = json.load(f)["train"]
+    dataset = make_train_dataset(specs, split_keys, data_root=args.data_root,
+                                 pack_path=args.packed, raw_image=True)
+    logger.info("train dataset: %d scenes via %s", len(dataset),
+                type(dataset.backend).__name__)
     loader = DataLoader(
         dataset,
         batch_size=specs.scenes_per_batch,
         num_workers=specs.data_loader_threads,
         shuffle=True,
         drop_last=True,
+        seed=specs.random_seed or 0,
         num_shards=jax.process_count(),
         shard=jax.process_index(),
         to_batch=lambda stacked: to_train_batch(specs, stacked),

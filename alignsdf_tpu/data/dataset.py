@@ -25,7 +25,9 @@ _IDENT_EXTR = np.eye(3, dtype=np.float32)
 
 
 class SDFDataset:
-    """Map-style dataset over reference-format npz/pkl/jpg train data."""
+    """Map-style train dataset; storage comes from a pluggable backend
+    (npz / LMDB / ASDF-pack, data.backends) while the sample math lives here.
+    Default backend is the reference per-file npz layout."""
 
     def __init__(
         self,
@@ -33,17 +35,38 @@ class SDFDataset:
         split_keys: List[str],
         data_root: Optional[str] = None,
         deterministic: bool = False,
+        backend=None,
+        raw_image: bool = False,
     ):
         self.specs = specs
         self.keys = list(split_keys)
-        self.data_source = data_root or os.path.join(
-            specs.data_source, specs.dataset, "train"
-        )
-        self.image_source = os.path.join(self.data_source, specs.image_source)
+        # raw_image=True returns the augmented patch as uint8 HWC; the model
+        # then normalizes on device (4x less H2D traffic + host CPU).  The
+        # float path keeps bit-parity with the reference's host transform.
+        self.raw_image = raw_image
+        if backend is None:
+            from alignsdf_tpu.data.backends import NpzBackend
+
+            data_source = data_root or os.path.join(
+                specs.data_source, specs.dataset, "train"
+            )
+            backend = NpzBackend(data_source, specs.dataset, specs.image_source)
+        self.backend = backend
         self.deterministic = deterministic
 
     def __len__(self) -> int:
         return len(self.keys)
+
+    def build_batch(self, batch_idx, seeds):
+        """Whole-batch native fast path (backends with packed_build_batch);
+        None = unsupported, caller uses the per-item path."""
+        native = getattr(self.backend, "build_batch", None)
+        if native is None or not self.raw_image:
+            # the native pipeline emits uint8 images (device-side normalize);
+            # float-image (host-normalized parity) datasets use the item path
+            return None
+        return native([self.keys[i] for i in batch_idx], seeds, self.specs,
+                      self.deterministic)
 
     def num_samples_per_branch(self) -> int:
         specs = self.specs
@@ -51,7 +74,12 @@ class SDFDataset:
             return specs.samples_per_scene // 2
         return specs.samples_per_scene
 
-    def __getitem__(self, idx: int, seed: Optional[int] = None) -> Dict[str, np.ndarray]:
+    def __getitem__(self, idx: int, seed: Optional[int] = None,
+                    sample_uniforms=None) -> Dict[str, np.ndarray]:
+        """``sample_uniforms``: optional ((u_pos, u_neg) hand, (u_pos, u_neg)
+        obj) uniform draws injected into the SDF sampling — lets golden tests
+        drive this chain and the reference ``SDFSamples`` with identical
+        randomness."""
         specs = self.specs
         key = self.keys[idx]
         rng = random.Random(seed) if seed is not None else random
@@ -59,11 +87,11 @@ class SDFDataset:
 
         cam_extr = _OBMAN_EXTR if "obman" in specs.dataset else _IDENT_EXTR
 
-        scale, offset = S.unpack_normal_params(self.data_source, key)
-        meta = S.unpack_meta_params(self.data_source, key, specs.dataset)
+        scale, offset = self.backend.normal_params(key)
+        meta = self.backend.meta_params(key)
         cam_intr = meta["cam_intr"].copy()
 
-        img = I.load_img(os.path.join(self.image_source, key + ".jpg"))
+        img = self.backend.image(key)
 
         if self.deterministic or specs.disable_aug:
             rot, do_flip, do_occlusion = 0.0, False, False
@@ -104,7 +132,7 @@ class SDFDataset:
             and not (self.deterministic or specs.disable_aug),
             rng=rng, np_rng=np_rng,
         )
-        encoder_input = I.normalize_image(patch)  # (H, W, 3) NHWC
+        encoder_input = patch if self.raw_image else I.normalize_image(patch)
 
         joints = (cam_extr @ meta["joints_3d"][:, :3].T).T.astype(np.float32)
         obj_corners = (cam_extr @ meta["obj_corners_3d"][:, :3].T).T.astype(np.float32)
@@ -114,17 +142,17 @@ class SDFDataset:
         gen = np.random.default_rng(np_rng.randint(0, 2 ** 31)) if seed is not None else np.random.default_rng()
 
         if specs.hand_branch:
-            hand_samples, hand_labels = S.unpack_sdf_samples(
-                self.data_source, key, num_sample, hand=True,
-                clamp=specs.clamping_distance, filter_dist=True, rng=gen,
+            hand_samples, hand_labels = self.backend.sample_sdf(
+                key, True, num_sample, specs.clamping_distance, True, gen,
+                uniforms=sample_uniforms[0] if sample_uniforms else None,
             )
         else:
             hand_samples = np.zeros((num_sample, 5), np.float32)
             hand_labels = -np.ones(num_sample, np.float32)
         if specs.obj_branch:
-            obj_samples, obj_labels = S.unpack_sdf_samples(
-                self.data_source, key, num_sample, hand=False,
-                clamp=specs.clamping_distance, filter_dist=True, rng=gen,
+            obj_samples, obj_labels = self.backend.sample_sdf(
+                key, False, num_sample, specs.clamping_distance, True, gen,
+                uniforms=sample_uniforms[1] if sample_uniforms else None,
             )
         else:
             obj_samples = np.zeros((num_sample, 5), np.float32)

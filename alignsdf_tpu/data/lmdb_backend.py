@@ -1,8 +1,8 @@
 """LMDB dataset backend — reference-compatible decode of the rgb/norm/meta/
 sdf_hand/sdf_obj LMDBs produced by the reference's tools/create_lmdb.py.
 
-Requires the ``lmdb`` python package (not bundled in every environment —
-import is deferred; the npz and ASDF-pack backends cover the same data).
+Uses the ``lmdb`` package when installed, else the bundled pure-python LMDB
+engine (data.lmdb_format) — either way the on-disk format is real LMDB.
 Buffer layouts decoded here:
   norm:  f32[4] = [offset(3), scale] (reference utils/sdf_utils.py:22-30)
   meta:  f32 (61, 3) block (reference utils/sdf_utils.py:41-62)
@@ -26,11 +26,12 @@ class LmdbStore:
 
     def __init__(self, data_source: str, hand_branch: bool = True,
                  obj_branch: bool = True):
-        import lmdb  # deferred: optional dependency
+        # the real lmdb package when installed, else the pure-python engine
+        from alignsdf_tpu.data.lmdb_format import open_env as _open
 
         def open_env(name):
-            return lmdb.open(os.path.join(data_source, name), readonly=True,
-                             lock=False, readahead=False, meminit=False)
+            return _open(os.path.join(data_source, name), readonly=True,
+                         lock=False, readahead=False, meminit=False)
 
         self.img_env = open_env("rgb.lmdb")
         self.norm_env = open_env("norm.lmdb")
@@ -50,9 +51,13 @@ class LmdbStore:
         with env.begin(write=False) as txn:
             return txn.get(key.encode("ascii"))
 
-    def image(self, key: str, size=(3, 256, 256)) -> np.ndarray:
+    def image(self, key: str, size=None) -> np.ndarray:
         buf = np.frombuffer(self._get(self.img_env, key), np.uint8)
-        c, h, w = size
+        if size is None:  # raw square RGB (reference stores 3x256x256 raw)
+            hw = int(round((buf.size // 3) ** 0.5))
+            c, h, w = 3, hw, hw
+        else:
+            c, h, w = size
         return buf.reshape(h, w, c)[:, :, ::-1].copy()  # BGR -> RGB
 
     def normal_params(self, key: str) -> Tuple[np.ndarray, np.ndarray]:
@@ -77,8 +82,10 @@ class LmdbStore:
 def unpack_sdf_samples_lmdb(store: LmdbStore, key: str, hand: bool,
                             subsample: int, clamp: Optional[float],
                             filter_dist: bool,
-                            rng: Optional[np.random.Generator] = None):
-    """Reference utils/sdf_utils.py:119-163 with numpy RNG."""
+                            rng: Optional[np.random.Generator] = None,
+                            uniforms=None):
+    """Reference utils/sdf_utils.py:119-163 with numpy RNG (``uniforms``
+    injectable for deterministic golden tests)."""
     rows, pos_num, neg_num = store.sdf_raw(key, hand)
     pos = rows[:pos_num]
     neg = rows[pos_num:]
@@ -89,10 +96,14 @@ def unpack_sdf_samples_lmdb(store: LmdbStore, key: str, hand: bool,
         keep_n = (np.abs(neg[:, 3]) < 2.0) & (np.abs(neg[:, 4]) < 2.0)
         pos, neg = pos[keep_p], neg[keep_n]
 
-    rng = rng or np.random.default_rng()
     half = subsample // 2
-    idx_p = (rng.random(half) * max(len(pos), 1)).astype(np.int64) % max(len(pos), 1)
-    idx_n = (rng.random(subsample - half) * max(len(neg), 1)).astype(np.int64) % max(len(neg), 1)
+    if uniforms is None:
+        rng = rng or np.random.default_rng()
+        uniforms = (rng.random(half, np.float32),
+                    rng.random(subsample - half, np.float32))
+    u_pos, u_neg = uniforms
+    idx_p = (u_pos * max(len(pos), 1)).astype(np.int64) % max(len(pos), 1)
+    idx_n = (u_neg * max(len(neg), 1)).astype(np.int64) % max(len(neg), 1)
     both = np.concatenate([pos[idx_p], neg[idx_n]], axis=0)
     samples = both[:, :-1].copy()
     labels = both[:, -1].copy()

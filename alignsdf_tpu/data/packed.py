@@ -10,17 +10,13 @@ reference utils/data.py:110-206).
 from __future__ import annotations
 
 import ctypes
-import os
-import random
-from typing import Dict, List, Optional
+from typing import List, Optional
 
 import numpy as np
 
 from alignsdf_tpu.config import Specs
-from alignsdf_tpu.data import img_utils as I
+from alignsdf_tpu.data.dataset import SDFDataset
 from alignsdf_tpu.native import load_library
-
-_OBMAN_EXTR = np.array([[1.0, 0, 0], [0, -1.0, 0], [0, 0, -1.0]], np.float32)
 
 
 class PackReader:
@@ -53,6 +49,20 @@ class PackReader:
             ctypes.c_float, ctypes.c_int, ctypes.c_uint64,
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
         ]
+        f32p = ctypes.POINTER(ctypes.c_float)
+        self._has_batch = hasattr(lib, "packed_build_batch")
+        if self._has_batch:
+            lib.packed_build_batch.restype = ctypes.c_int
+            lib.packed_build_batch.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_uint64),
+                ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_float,
+                ctypes.c_float, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_float, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_uint8),
+                f32p, f32p, f32p, f32p, f32p, f32p, f32p, f32p, f32p, f32p,
+                ctypes.c_int,
+            ]
         self._lib = lib
         self._h = lib.packed_open(path.encode())
         if not self._h:
@@ -97,115 +107,88 @@ class PackReader:
             raise RuntimeError(f"packed_sample_sdf failed for record {i}")
         return samples, labels
 
+    def build_batch(self, indices: np.ndarray, seeds: np.ndarray,
+                    specs: Specs, deterministic: bool = False,
+                    num_threads: int = 0):
+        """Whole-batch native pipeline (augment + sample + normalize +
+        to_train_batch layout) in one GIL-free call.  Returns the train-batch
+        dict of data.dataset.to_train_batch with a uint8 image tensor."""
+        if not self._has_batch:
+            raise RuntimeError("libpacked_reader.so too old: rebuild csrc")
+        batch = len(indices)
+        n = specs.samples_per_scene
+        size = specs.image_size[0]
+        f32p = ctypes.POINTER(ctypes.c_float)
+
+        idx = np.ascontiguousarray(indices, np.int64)
+        sds = np.ascontiguousarray(seeds, np.uint64)
+        images = np.empty((batch, size, size, 3), np.uint8)
+        xyz = np.empty((batch * n, 3), np.float32)
+        sdf_hand = np.empty((batch * n, 1), np.float32)
+        sdf_obj = np.empty((batch * n, 1), np.float32)
+        labels = np.empty(batch * n, np.float32)
+        cam_intr = np.empty((batch, 3, 4), np.float32)
+        mano_root = np.empty((batch, 3), np.float32)
+        rest_corners = np.empty((batch, 8, 3), np.float32)
+        joints = np.empty((batch, 21, 3), np.float32)
+        obj_center = np.empty((batch, 3), np.float32)
+        obj_corners = np.empty((batch, 8, 3), np.float32)
+
+        def fp(a):
+            return a.ctypes.data_as(f32p)
+
+        rot_factor = 45.0 if "obman" in specs.dataset else 15.0
+        rc = self._lib.packed_build_batch(
+            self._h, batch,
+            idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            sds.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            n, int(specs.hand_branch), int(specs.obj_branch),
+            specs.clamping_distance or 0.0, specs.sdf_scale_factor,
+            int(deterministic or specs.disable_aug),
+            int(specs.occlusion_aug), size, rot_factor,
+            int("obman" in specs.dataset),
+            images.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            fp(xyz), fp(sdf_hand), fp(sdf_obj), fp(labels), fp(cam_intr),
+            fp(mano_root), fp(rest_corners), fp(joints), fp(obj_center),
+            fp(obj_corners), num_threads,
+        )
+        if rc != 0:
+            raise RuntimeError("packed_build_batch failed")
+        return {
+            "image": images,
+            "xyz": xyz,
+            "sdf_gt_hand": sdf_hand,
+            "sdf_gt_obj": sdf_obj,
+            "labels": labels.astype(np.int32),
+            "cam_intr": cam_intr,
+            "mano_root": mano_root,
+            "rest_obj_corners": rest_corners,
+            "hand_joints_3d": joints,
+            "obj_center": obj_center,
+            "obj_corners": obj_corners,
+        }
+
     def close(self) -> None:
         if self._h:
             self._lib.packed_close(self._h)
             self._h = None
 
 
-class PackedSDFDataset:
-    """Same sample math as data.dataset.SDFDataset over a pack file."""
+class PackedSDFDataset(SDFDataset):
+    """SDFDataset over an ASDF-pack file (PackedBackend): identical sample
+    math, native record decode + split-half sampling."""
 
     def __init__(self, specs: Specs, pack_path: str,
-                 keys: Optional[List[str]] = None, deterministic: bool = False):
-        self.specs = specs
-        self.reader = PackReader(pack_path)
-        self.deterministic = deterministic
-        all_keys = [self.reader.key(i) for i in range(len(self.reader))]
-        self.key_to_idx = {k: i for i, k in enumerate(all_keys)}
-        self.keys = keys if keys is not None else all_keys
+                 keys: Optional[List[str]] = None, deterministic: bool = False,
+                 raw_image: bool = False):
+        from alignsdf_tpu.data.backends import PackedBackend
 
-    def __len__(self) -> int:
-        return len(self.keys)
-
-    def __getitem__(self, idx: int, seed: Optional[int] = None) -> Dict[str, np.ndarray]:
-        specs = self.specs
-        key = self.keys[idx]
-        rec = self.key_to_idx[key]
-        rng = random.Random(seed) if seed is not None else random
-        np_rng = np.random.RandomState(seed) if seed is not None else np.random
-        draw_seed = (np_rng.randint(0, 2 ** 31) if seed is not None
-                     else np.random.randint(0, 2 ** 31))
-
-        cam_extr = _OBMAN_EXTR if "obman" in specs.dataset else np.eye(3, dtype=np.float32)
-
-        scale, offset, block = self.reader.meta(rec)
-        joints = (cam_extr @ block[:21].T).T.astype(np.float32)
-        obj_corners = (cam_extr @ block[21:30].T).T.astype(np.float32)
-        rest_corners = (cam_extr @ block[30:39].T).T.astype(np.float32)
-        cam_intr = np.zeros((3, 4), np.float32)
-        if specs.dataset == "obman":
-            cam_intr[:3, :3] = np.array([[480.0, 0, 128], [0, 480.0, 128], [0, 0, 1]], np.float32)
-        else:
-            cam_intr[:3, :3] = block[58:61]
-
-        img = self.reader.image(rec)
-
-        if self.deterministic or specs.disable_aug:
-            rot, do_occlusion = 0.0, False
-        else:
-            _, rot, _, _, do_occlusion = I.get_aug_config(
-                specs.dataset, enable_flip=False, rng=rng, np_rng=np_rng)
-        rot_aug_mat = np.array(
-            [[np.cos(np.deg2rad(-rot)), -np.sin(np.deg2rad(-rot)), 0],
-             [np.sin(np.deg2rad(-rot)), np.cos(np.deg2rad(-rot)), 0],
-             [0, 0, 1]], np.float32)
-
-        image_size = specs.image_size
-        crop_box = [(img.shape[1] - image_size[1]) // 2,
-                    (img.shape[0] - image_size[0]) // 2,
-                    image_size[1], image_size[0]]
-        cam_intr[0, 2] = cam_intr[0, 2] / img.shape[1] * image_size[1]
-        cam_intr[1, 2] = cam_intr[1, 2] / img.shape[0] * image_size[0]
-        # occlusion off by default (reference utils/data.py:142 passes False)
-        patch, _ = I.generate_patch_image(
-            img, crop_box, image_size, False, 1.0, rot,
-            do_occlusion and specs.occlusion_aug
-            and not (self.deterministic or specs.disable_aug),
-            rng=rng, np_rng=np_rng)
-        encoder_input = I.normalize_image(patch)
-
-        num_sample = (specs.samples_per_scene // 2
-                      if specs.hand_branch and specs.obj_branch
-                      else specs.samples_per_scene)
-
-        if specs.hand_branch:
-            hand_samples, hand_labels = self.reader.sample_sdf(
-                rec, True, num_sample, specs.clamping_distance, True, draw_seed)
-        else:
-            hand_samples = np.zeros((num_sample, 5), np.float32)
-            hand_labels = -np.ones(num_sample, np.float32)
-        if specs.obj_branch:
-            obj_samples, obj_labels = self.reader.sample_sdf(
-                rec, False, num_sample, specs.clamping_distance, True, draw_seed + 1)
-        else:
-            obj_samples = np.zeros((num_sample, 5), np.float32)
-            obj_labels = -np.ones(num_sample, np.float32)
-
-        # normalization chain (reference utils/data.py:176-199)
-        for samples in (hand_samples, obj_samples):
-            samples[:, 0:3] = samples[:, 0:3] / scale - offset
-            samples[:, 0:3] = (rot_aug_mat @ samples[:, 0:3].T).T
-        joints[:, 0:3] = (rot_aug_mat @ joints[:, 0:3].T).T
-        obj_corners[:, 0:3] = (rot_aug_mat @ obj_corners[:, 0:3].T).T
-
-        mano_root = joints[0].copy()
-        for arr in (hand_samples, obj_samples):
-            arr[:, 0:3] = (arr[:, 0:3] - mano_root) * specs.sdf_scale_factor
-            arr[:, 3:] = arr[:, 3:] / scale * specs.sdf_scale_factor
-            arr[:, 0:5] /= 2.0
-
-        return {
-            "image": encoder_input,
-            "pc_hand": hand_samples,
-            "cls_hand": hand_labels,
-            "pc_obj": obj_samples,
-            "cls_obj": obj_labels,
-            "hand_joints_3d": joints,
-            "obj_corners": obj_corners[1:, :] - obj_corners[[0], :],
-            "obj_center": obj_corners[0, :],
-            "cam_intr": cam_intr,
-            "mano_root": mano_root,
-            "rest_obj_corners": rest_corners[1:, :],
-            "key": key,
-        }
+        backend = PackedBackend(pack_path, specs.dataset)
+        super().__init__(
+            specs,
+            keys if keys is not None else backend.keys(),
+            deterministic=deterministic,
+            backend=backend,
+            raw_image=raw_image,
+        )
+        self.reader = backend.reader

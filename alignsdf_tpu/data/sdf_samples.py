@@ -112,6 +112,32 @@ def unpack_sdf_samples(
     return samples, labels
 
 
+def meta_from_block(block: np.ndarray, dataset: str) -> Dict[str, np.ndarray]:
+    """Decode the packed (61, 3) meta block (layout from the reference LMDB
+    packer, tools/create_lmdb.py:106-115; decode per utils/sdf_utils.py:41-62):
+    joints(21) | corners(9) | rest corners(9) | pose(15x3) | affine(4x3 ->
+    reshape (3,4)) | intrinsics(3x3)."""
+    block = np.asarray(block, np.float32).reshape(61, 3)
+    info: Dict[str, np.ndarray] = {
+        "joints_3d": block[:21].copy(),
+        "obj_corners_3d": block[21:30].copy(),
+        "obj_rest_corners_3d": block[30:39].copy(),
+        "hand_pose": block[39:54].reshape(-1).copy(),
+    }
+    affine = np.zeros((4, 4), np.float32)
+    affine[3, 3] = 1.0
+    affine[:3, :4] = block[54:58].reshape(3, 4)
+    info["affine_transform"] = affine
+    cam_intr = np.zeros((3, 4), np.float32)
+    if dataset == "obman":
+        cam_intr[:3, :3] = np.array(
+            [[480.0, 0, 128], [0, 480.0, 128], [0, 0, 1]], np.float32)
+    else:
+        cam_intr[:3, :3] = block[58:61]
+    info["cam_intr"] = cam_intr
+    return info
+
+
 def unpack_normal_params(data_source: str, key: str) -> Tuple[np.ndarray, np.ndarray]:
     """norm/<key>.npz {scale, offset} (reference utils/sdf_utils.py:33-38)."""
     npz = np.load(os.path.join(data_source, "norm", key + ".npz"))

@@ -22,6 +22,22 @@ from alignsdf_tpu.ops.embeddings import kinematic_embedding, nerf_embed_for_poin
 from alignsdf_tpu.ops.geometry import get_obj_trans, pixel_alignment, soft_argmax
 
 
+_IMAGENET_MEAN = (0.485, 0.456, 0.406)
+_IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def normalize_image_on_device(image: jax.Array) -> jax.Array:
+    """uint8 NHWC -> ImageNet-normalized float32 (same math as
+    data.img_utils.normalize_image / reference utils/data.py:67-71, fused into
+    the device program so the host ships uint8).  Float inputs pass through
+    (already normalized on host)."""
+    if image.dtype != jnp.uint8:
+        return image
+    mean = jnp.asarray(_IMAGENET_MEAN, jnp.float32)
+    std = jnp.asarray(_IMAGENET_STD, jnp.float32)
+    return (image.astype(jnp.float32) / 255.0 - mean) / std
+
+
 class AlignSDF(nn.Module):
     """The full single-image hand+object SDF reconstruction model."""
 
@@ -84,7 +100,8 @@ class AlignSDF(nn.Module):
             pts = xyz.reshape(image.shape[0], -1, 3)
             sdf_feat, mano_feat, aux_feat = self.encoder(pts, train=train)
         else:
-            sdf_feat, mano_feat, aux_feat = self.encoder(image, train=train)
+            sdf_feat, mano_feat, aux_feat = self.encoder(
+                normalize_image_on_device(image), train=train)
 
         mano_results = None
         if specs.mano_branch:
@@ -166,7 +183,8 @@ class AlignSDF(nn.Module):
                     "(sample['points']) to encode the scene")
             sdf_feat, mano_feat, aux_feat = self.encoder(points, train=False)
         else:
-            sdf_feat, mano_feat, aux_feat = self.encoder(image, train=False)
+            sdf_feat, mano_feat, aux_feat = self.encoder(
+                normalize_image_on_device(image), train=False)
 
         cond_input = {"cam_intr": cam_intr, "mano_root": mano_root,
                       "rest_obj_corners": rest_obj_corners}

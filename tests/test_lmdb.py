@@ -1,0 +1,178 @@
+"""LMDB data path: pure-python LMDB engine round-trip, writer->backend
+bit-parity with the npz backend, and a full dataset golden test driving the
+reference ``SDFSamples`` (use_lmdb=True) over LMDBs produced by our packer."""
+
+import collections
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from alignsdf_tpu.config import Specs
+from alignsdf_tpu.data import make_train_dataset
+from alignsdf_tpu.data.dataset import SDFDataset
+from alignsdf_tpu.data.lmdb_format import LmdbWriter, MiniEnv, MiniLmdb
+from alignsdf_tpu.data.synthetic import write_synthetic_dataset
+
+import oracle
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_lmdb_format_roundtrip(tmp_path):
+    """Write -> read through the pure-python engine: inline values, overflow
+    values, multi-level B+tree, missing-key lookups, ordered iteration."""
+    rng = np.random.RandomState(0)
+    items = {}
+    for i in range(800):
+        key = f"{i:08d}"
+        size = rng.randint(40000, 120000) if i % 29 == 0 else rng.randint(1, 1800)
+        items[key] = rng.bytes(size)
+
+    path = str(tmp_path / "test.lmdb")
+    with LmdbWriter(path) as w:
+        for k in sorted(items, key=hash):  # insert unsorted
+            w.put(k, items[k])
+
+    db = MiniLmdb(path)
+    assert len(db) == len(items)
+    assert db.depth >= 2
+    for k, v in items.items():
+        assert db.get(k) == v
+    assert db.get("nope") is None
+    keys = [k.decode() for k, _ in db.items()]
+    assert keys == sorted(items)
+
+    # the Environment facade used by LmdbStore
+    env = MiniEnv(path)
+    with env.begin(write=False) as txn:
+        assert txn.get(b"00000007") == items["00000007"]
+
+
+@pytest.fixture(scope="module")
+def lmdb_root(tmp_path_factory):
+    """Synthetic reference-layout dataset + our five LMDBs over it."""
+    root = tmp_path_factory.mktemp("lmdbds")
+    keys = [f"{i:08d}" for i in range(4)]
+    base = write_synthetic_dataset(str(root), keys, n_points=1200, image_hw=256)
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import create_lmdb
+
+    create_lmdb.create_lmdbs(base, "obman", "train", keys)
+    return base, keys
+
+
+def _specs(**over):
+    base = dict(dataset="obman", sdf_scale_factor=7.0186, samples_per_scene=64,
+                image_size=(256, 256), clamping_distance=0.05)
+    base.update(over)
+    return Specs(**base)
+
+
+def test_lmdb_backend_matches_npz_backend(lmdb_root):
+    """Same __getitem__, same seed, two storage backends -> identical sample."""
+    base, keys = lmdb_root
+    specs_npz = _specs(lmdb=False)
+    specs_lmdb = _specs(lmdb=True)
+    ds_npz = make_train_dataset(specs_npz, keys, data_root=base)
+    ds_lmdb = make_train_dataset(specs_lmdb, keys, data_root=base)
+    assert type(ds_npz.backend).__name__ == "NpzBackend"
+    assert type(ds_lmdb.backend).__name__ == "LmdbBackend"
+
+    for idx, seed in ((0, 3), (2, 11)):
+        a = ds_npz.__getitem__(idx, seed=seed)
+        b = ds_lmdb.__getitem__(idx, seed=seed)
+        for field in sorted(set(a) - {"key"}):
+            np.testing.assert_allclose(a[field], b[field], atol=1e-6,
+                                       err_msg=field)
+
+
+def test_lmdb_keys_discoverable(lmdb_root):
+    base, _ = lmdb_root
+    ds = make_train_dataset(_specs(lmdb=True), None, data_root=base)
+    assert len(ds) == 4  # keys come from the sdf meta_info.json
+
+
+def test_dataset_golden_vs_reference_sdfsamples(lmdb_root, tmp_path,
+                                                monkeypatch):
+    """The VERDICT round-1 gap: a fixture-based golden test of the full
+    ``SDFDataset.__getitem__`` chain (/scale - offset -> rot -> -root ->
+    x factor -> /2, reference utils/data.py:110-206) against the reference
+    ``SDFSamples`` run over the SAME LMDBs (written by tools/create_lmdb.py),
+    with identical injected sampling uniforms."""
+    torch = pytest.importorskip("torch")
+    base, keys = lmdb_root
+    oracle.setup_reference()
+
+    # the reference hard-codes data/<dataset>/train/*.lmdb relative to CWD
+    workdir = tmp_path / "refcwd"
+    os.makedirs(workdir / "data" / "obman", exist_ok=True)
+    os.symlink(base, workdir / "data" / "obman" / "train")
+
+    # back the stubbed lmdb module with the pure-python engine
+    lmdb_mod = sys.modules["lmdb"]
+    monkeypatch.setattr(lmdb_mod, "open", lambda path, **kw: MiniEnv(path),
+                        raising=False)
+
+    # deterministic sampling: 4 x torch.rand(half) draws (hand pos/neg,
+    # obj pos/neg, reference utils/sdf_utils.py:147-148)
+    half = 16
+    rng = np.random.RandomState(123)
+    draws = [rng.rand(half).astype(np.float32) for _ in range(4)]
+    queue = collections.deque(torch.from_numpy(d.copy()) for d in draws)
+    real_rand = torch.rand
+
+    def fake_rand(*args, **kw):
+        if len(args) == 1 and args[0] == half and queue:
+            return queue.popleft()
+        return real_rand(*args, **kw)
+
+    monkeypatch.setattr(torch, "rand", fake_rand)
+
+    import utils.data as ref_data
+
+    cwd = os.getcwd()
+    os.chdir(workdir)
+    try:
+        # subsample = 4*half: /2 per branch, /2 again for the pos/neg split
+        ref_ds = ref_data.SDFSamples(
+            "data", {"train": keys}, subsample=4 * half, dataset_name="obman",
+            hand_branch=True, obj_branch=True, disable_aug=True,
+            filter_dist=True, image_size=(256, 256),
+            sdf_scale_factor=7.0186, clamp=0.05,
+            model_type="1encoder2decoder", use_lmdb=True,
+        )
+        input_iter, label_iter, meta_iter = ref_ds[1]
+    finally:
+        os.chdir(cwd)
+        monkeypatch.setattr(torch, "rand", real_rand)
+
+    ours = make_train_dataset(
+        _specs(lmdb=True, samples_per_scene=4 * half, disable_aug=True),
+        keys, data_root=base,
+    )
+    item = ours.__getitem__(
+        1, seed=0,
+        sample_uniforms=((draws[0], draws[1]), (draws[2], draws[3])),
+    )
+
+    np.testing.assert_allclose(
+        item["image"], input_iter["img"].numpy().transpose(1, 2, 0), atol=1e-6)
+    for ref_key, our_key in (
+        ("pc_hand", "pc_hand"), ("cls_hand", "cls_hand"),
+        ("pc_obj", "pc_obj"), ("cls_obj", "cls_obj"),
+        ("hand_joints_3d", "hand_joints_3d"),
+        ("obj_corners", "obj_corners"), ("obj_center", "obj_center"),
+    ):
+        np.testing.assert_allclose(
+            item[our_key], label_iter[ref_key].numpy(), atol=1e-5,
+            err_msg=ref_key)
+    np.testing.assert_allclose(item["cam_intr"], meta_iter["cam_intr"].numpy(),
+                               atol=1e-5)
+    np.testing.assert_allclose(item["mano_root"], meta_iter["mano_root"].numpy(),
+                               atol=1e-6)
+    np.testing.assert_allclose(
+        item["rest_obj_corners"], meta_iter["rest_obj_corners"].numpy(),
+        atol=1e-6)

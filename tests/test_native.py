@@ -146,3 +146,105 @@ def test_packed_dataset_matches_npz_backend(tmp_path):
         np.testing.assert_allclose(a[field], b[field], atol=1e-5, err_msg=field)
     assert a["pc_hand"].shape == b["pc_hand"].shape
     assert set(np.unique(b["cls_obj"]).astype(int).tolist()) == {-1}
+
+
+@pytest.mark.skipif(not os.path.isfile(os.path.join(BUILD, "libpacked_reader.so")),
+                    reason="native packed reader not built")
+def test_native_batch_builder_parity(tmp_path):
+    """packed_build_batch (whole-batch C++ pipeline) vs the python chain:
+    deterministic fields must match SDFDataset exactly; the sampled SDF rows
+    must match re-running the native sampler with the builder's tagged branch
+    seeds through the normalization chain (reference utils/data.py:176-199)."""
+    from alignsdf_tpu.config import Specs
+    from alignsdf_tpu.data.packed import PackedSDFDataset
+    from alignsdf_tpu.data.synthetic import write_synthetic_dataset
+
+    keys = [f"{i:08d}" for i in range(4)]
+    base = write_synthetic_dataset(str(tmp_path), keys, n_points=800, image_hw=96)
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "pack_dataset.py"),
+         base, str(tmp_path / "train.pack"), "--keys", *keys],
+        check=True, capture_output=True, cwd=REPO,
+    )
+    specs = Specs(dataset="obman", sdf_scale_factor=7.0186, samples_per_scene=64,
+                  image_size=(96, 96), clamping_distance=0.05, disable_aug=True)
+    ds = PackedSDFDataset(specs, str(tmp_path / "train.pack"), keys,
+                          deterministic=True, raw_image=True)
+
+    seeds = [11, 22, 33, 44]
+    batch = ds.build_batch([0, 1, 2, 3], seeds)
+    assert batch["image"].dtype == np.uint8
+
+    per = 32
+    for b in range(4):
+        item = ds.__getitem__(b, seed=0)  # deterministic (aug disabled)
+        # deterministic fields: exact
+        raw = ds.backend.image(ds.keys[b])
+        np.testing.assert_array_equal(batch["image"][b], raw)  # rot=0 -> copy
+        np.testing.assert_allclose(batch["hand_joints_3d"][b],
+                                   item["hand_joints_3d"], atol=1e-6)
+        np.testing.assert_allclose(batch["cam_intr"][b], item["cam_intr"],
+                                   atol=1e-5)
+        np.testing.assert_allclose(batch["mano_root"][b], item["mano_root"],
+                                   atol=1e-6)
+        np.testing.assert_allclose(batch["rest_obj_corners"][b],
+                                   item["rest_obj_corners"], atol=1e-6)
+        np.testing.assert_allclose(batch["obj_center"][b], item["obj_center"],
+                                   atol=1e-6)
+        np.testing.assert_allclose(batch["obj_corners"][b], item["obj_corners"],
+                                   atol=1e-6)
+
+        # sampled rows: rebuild from the tagged branch seeds + the chain
+        scale_arr, offset = ds.backend.normal_params(ds.keys[b])
+        scale = float(scale_arr[0])
+        root = item["mano_root"]
+        k = specs.sdf_scale_factor
+        rec = ds.backend._key_to_idx[ds.keys[b]]
+        for hand, tag, base_row in ((True, 0x68616E64, 0), (False, 0x6F626A00, per)):
+            raw_s, raw_l = ds.reader.sample_sdf(
+                rec, hand, per, specs.clamping_distance, True, seeds[b] ^ tag)
+            exp_xyz = ((raw_s[:, :3] / scale - offset) - root) * k / 2
+            rows = slice(b * 64 + base_row, b * 64 + base_row + per)
+            np.testing.assert_allclose(batch["xyz"][rows], exp_xyz, atol=1e-5)
+            np.testing.assert_allclose(batch["sdf_gt_hand"][rows, 0],
+                                       raw_s[:, 3] / scale * k / 2, atol=1e-6)
+            np.testing.assert_allclose(batch["sdf_gt_obj"][rows, 0],
+                                       raw_s[:, 4] / scale * k / 2, atol=1e-6)
+            np.testing.assert_array_equal(batch["labels"][rows],
+                                          raw_l.astype(np.int32))
+
+
+@pytest.mark.skipif(not os.path.isfile(os.path.join(BUILD, "libpacked_reader.so")),
+                    reason="native packed reader not built")
+def test_native_batch_loader_roundtrip(tmp_path):
+    """DataLoader consumes the native fast path; same seeds across worker
+    counts -> identical batches (deterministic loader contract)."""
+    from alignsdf_tpu.config import Specs
+    from alignsdf_tpu.data.loader import DataLoader
+    from alignsdf_tpu.data.packed import PackedSDFDataset
+    from alignsdf_tpu.data.synthetic import write_synthetic_dataset
+
+    keys = [f"{i:08d}" for i in range(8)]
+    base = write_synthetic_dataset(str(tmp_path), keys, n_points=400, image_hw=64)
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "pack_dataset.py"),
+         base, str(tmp_path / "t.pack"), "--keys", *keys],
+        check=True, capture_output=True, cwd=REPO,
+    )
+    specs = Specs(dataset="obman", sdf_scale_factor=7.0186, samples_per_scene=32,
+                  image_size=(64, 64), clamping_distance=0.05)
+    ds = PackedSDFDataset(specs, str(tmp_path / "t.pack"), keys,
+                          raw_image=True)
+
+    def run(workers):
+        loader = DataLoader(ds, batch_size=4, num_workers=workers, shuffle=True,
+                            seed=7)
+        loader.set_epoch(3)
+        return list(loader)
+
+    a, b = run(1), run(3)
+    assert len(a) == len(b) == 2
+    for batch_a, batch_b in zip(a, b):
+        assert batch_a["image"].dtype == np.uint8
+        for key in batch_a:
+            np.testing.assert_array_equal(batch_a[key], batch_b[key])

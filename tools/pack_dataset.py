@@ -37,7 +37,9 @@ def meta_block(data_source: str, key: str, dataset: str) -> np.ndarray:
     block[21:30] = meta["obj_corners_3d"][:, :3]
     block[30:39] = meta["obj_rest_corners_3d"][:, :3]
     block[39:54] = meta["hand_pose"].reshape(15, 3)
-    block[54:58] = meta["affine_transform"][:3, :4].T.reshape(4, 3)
+    # row-major (3,4)->(4,3), same layout as the reference meta lmdb
+    # (reference tools/create_lmdb.py:110)
+    block[54:58] = meta["affine_transform"][:3, :4].reshape(4, 3)
     block[58:61] = meta["cam_intr"][:3, :3]
     head = np.concatenate([[float(np.asarray(scale).reshape(-1)[0])], offset]).astype(np.float32)
     return np.concatenate([head, block.reshape(-1)])
