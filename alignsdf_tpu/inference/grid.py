@@ -31,6 +31,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from alignsdf_tpu.config import Specs
 from alignsdf_tpu.ops.embeddings import kinematic_embedding, nerf_embed_for_point_feat
+from alignsdf_tpu.ops.geometry import pixel_alignment
 
 
 class GridResult(NamedTuple):
@@ -151,7 +152,17 @@ def make_grid_evaluator(
             pts = _coords_from_linear(block, n, origin, voxel)
             emb = embed(ctx, pts)
             latent = ctx["latent"]
-            if latent.ndim == 2 and latent.shape[0] == 1:
+            if latent.ndim == 4:
+                # pixel-aligned spatial feature map (B=1, C, Hf, Wf):
+                # per-point projection + bicubic sampling, matching the
+                # reference mesh path exactly — including projecting the
+                # *embedded* vector's first three columns
+                # (reference utils/mesh.py:47-55 -> utils/utils.py:561-572)
+                latent = pixel_alignment(
+                    latent, emb[:, :3], ctx["cam_intr"], ctx["pred_root"],
+                    specs.image_size[0], specs.sdf_scale_factor,
+                )
+            elif latent.ndim == 2 and latent.shape[0] == 1:
                 latent = jnp.broadcast_to(latent, (emb.shape[0], latent.shape[1]))
             inputs = jnp.concatenate([latent, emb], axis=1)
             sdf_h, sdf_o, logits = decode_fn(ctx, inputs)

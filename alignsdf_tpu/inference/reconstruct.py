@@ -143,11 +143,18 @@ class Reconstructor:
             jnp.asarray(sample["rest_obj_corners"])[None],
             jnp.asarray(points)[None] if points is not None else None,
         )
+        if self.specs.pixel_align:
+            # encode_scene returns the HeadNet map NHWC; pixel_alignment
+            # consumes NCHW (reference utils/utils.py:536-558)
+            latent = latent.transpose(0, 3, 1, 2)
         ctx: Dict[str, Any] = {
             "params": self.variables["params"],
             "decoder_params": self.variables["params"]["decoder"],
             "latent": latent,
         }
+        if self.specs.pixel_align:
+            ctx["cam_intr"] = jnp.asarray(sample["cam_intr"])[None]
+            ctx["pred_root"] = mano_results["joints"][:, 0:1]
         if mano_results is not None and self.specs.encode_style != "nerf":
             ctx["rot_center"] = mano_results["rot_center"]
             ctx["global_trans"] = mano_results["global_trans"]
@@ -269,7 +276,15 @@ class Reconstructor:
                 emb = nerf_embed_for_point_feat(pts, specs.point_feat_size)
         else:
             emb = pts
-        latent = jnp.broadcast_to(ctx["latent"], (emb.shape[0], ctx["latent"].shape[1]))
+        if ctx["latent"].ndim == 4:
+            from alignsdf_tpu.ops.geometry import pixel_alignment
+
+            latent = pixel_alignment(
+                ctx["latent"], emb[:, :3], ctx["cam_intr"], ctx["pred_root"],
+                specs.image_size[0], specs.sdf_scale_factor)
+        else:
+            latent = jnp.broadcast_to(ctx["latent"],
+                                      (emb.shape[0], ctx["latent"].shape[1]))
         inputs = jnp.concatenate([latent, emb], axis=1)
         _, _, logits = self.model.apply({"params": ctx["params"]}, inputs,
                                         method=self.model.decode_points)

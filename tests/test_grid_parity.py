@@ -117,3 +117,83 @@ def test_grid_fields_match_reference(use_pallas):
     result = evaluate(ctx)
     np.testing.assert_allclose(np.asarray(result.sdf_hand), ref_h, atol=2e-5)
     np.testing.assert_allclose(np.asarray(result.sdf_obj), ref_o, atol=2e-5)
+
+
+def test_pixel_align_grid_matches_reference():
+    """PixelAlign grid reconstruction: per-point projection + bicubic latent
+    sampling inside the sharded evaluator vs the reference mesh path
+    (utils/mesh.py:47-55 -> utils/utils.py:561-572, which projects the
+    embedded vector's first three columns)."""
+    specs_dict = _specs_dict(
+        ManoBranch=True, PixelAlign=True, ObjectPoseBranch=False,
+        PointFeatSize=6, EncodeStyle="hand", SamplesPerScene=8,
+    )
+    torch.manual_seed(5)
+    ref_model = oracle.reference_full_model(specs_dict)
+    specs = specs_from_dict(specs_dict)
+    model = build_model(specs)
+    params, stats = convert_alignsdf(ref_model.state_dict(), specs, (2, 2, 2, 2))
+    variables = full_variables(model, params, stats)
+
+    rng = np.random.RandomState(5)
+    img = rng.rand(1, 256, 256, 3).astype(np.float32)
+    cam = np.concatenate(
+        [np.array([[480.0, 0, 128], [0, 480.0, 128], [0, 0, 1]], np.float32),
+         np.zeros((3, 1), np.float32)], axis=1)[None]
+    mano_root = np.array([[0, 0, 0.6]], np.float32)
+    corners = (rng.randn(1, 8, 3) * 0.05).astype(np.float32)
+
+    latent, mano_results, _ = model.apply(
+        variables, jnp.asarray(img), jnp.asarray(cam), jnp.asarray(mano_root),
+        jnp.asarray(corners), method=model.encode_scene)
+    assert latent.ndim == 4  # HeadNet spatial map (NHWC)
+
+    # --- reference grid loop with the pixel-align decode
+    oracle.setup_reference()
+    from utils.utils import kinematic_embedding, pixel_alignment as ref_pa
+
+    overall = torch.arange(0, N ** 3, 1).long()
+    samples = torch.zeros(N ** 3, 3)
+    voxel = 2.0 / (N - 1)
+    samples[:, 2] = overall % N
+    samples[:, 1] = (overall // N) % N
+    samples[:, 0] = ((overall // N) // N) % N
+    samples = samples * voxel - 1.0
+
+    mano_t = {
+        "global_trans": torch.from_numpy(np.asarray(mano_results["global_trans"])),
+        "rot_center": torch.from_numpy(np.asarray(mano_results["rot_center"])),
+        "joints": torch.from_numpy(np.asarray(mano_results["joints"])),
+    }
+    latent_t = torch.from_numpy(
+        np.asarray(latent.transpose(0, 3, 1, 2)))  # NCHW
+    cam_t = torch.from_numpy(cam.copy())
+    factor = specs_dict["SdfScaleFactor"]
+    with torch.no_grad():
+        pts = kinematic_embedding(samples.clone(), mano_t, samples.shape[0],
+                                  6, factor, None, "hand")
+        lat = ref_pa(latent_t, pts[:, :3], cam_t, mano_t, 256, factor)
+        sdf_h, sdf_o, _ = ref_model.decoder(torch.cat([lat, pts], 1))
+    ref_h = sdf_h[:, 0].reshape(N, N, N).numpy()
+    ref_o = sdf_o[:, 0].reshape(N, N, N).numpy()
+
+    # --- our sharded evaluator
+    def decode_fn(ctx, inputs):
+        return model.apply({"params": ctx["params"]}, inputs,
+                           method=model.decode_points)
+
+    mesh = make_mesh(8)
+    evaluate = make_grid_evaluator(decode_fn, specs, N, chunk=N ** 3 // 8,
+                                   mesh=mesh, two_pass=False)
+    ctx = {
+        "params": params,
+        "decoder_params": params["decoder"],
+        "latent": jnp.asarray(latent.transpose(0, 3, 1, 2)),
+        "cam_intr": jnp.asarray(cam),
+        "pred_root": mano_results["joints"][:, 0:1],
+        "rot_center": mano_results["rot_center"],
+        "global_trans": mano_results["global_trans"],
+    }
+    result = evaluate(ctx)
+    np.testing.assert_allclose(np.asarray(result.sdf_hand), ref_h, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(result.sdf_obj), ref_o, atol=5e-5)
