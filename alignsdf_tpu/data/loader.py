@@ -168,12 +168,21 @@ class DataLoader:
     def _device_put(self, stacked):
         if self.sharding is None:
             return stacked
-        return {
-            k: (jax.device_put(v, self.sharding[k])
-                if isinstance(v, np.ndarray) and k in self.sharding
-                else v)
-            for k, v in stacked.items()
-        }
+        multiprocess = jax.process_count() > 1
+        out = {}
+        for k, v in stacked.items():
+            if not (isinstance(v, np.ndarray) and k in self.sharding):
+                out[k] = v
+            elif multiprocess:
+                # each host loaded only its shard: assemble the global array
+                # (reference DistributedSampler semantics — the jitted step
+                # sees the global batch, GSPMD keeps shards device-local)
+                global_shape = (v.shape[0] * jax.process_count(),) + v.shape[1:]
+                out[k] = jax.make_array_from_process_local_data(
+                    self.sharding[k], v, global_shape=global_shape)
+            else:
+                out[k] = jax.device_put(v, self.sharding[k])
+        return out
 
     def __iter__(self):
         batches = list(self._batches())

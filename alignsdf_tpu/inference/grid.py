@@ -194,17 +194,21 @@ def make_grid_evaluator(
             new_voxel, new_origin,
         )
 
-    if mesh is not None:
-        idx_sharding = NamedSharding(mesh, P("data"))
-        out_sharding = NamedSharding(mesh, P())
-        run_jit = jax.jit(run, in_shardings=(None, idx_sharding))
-    else:
-        run_jit = jax.jit(run)
-
     idx_host = np.arange(total, dtype=jnp.int32)
     if mesh is not None:
-        idx_dev = jax.device_put(idx_host, idx_sharding)
+        idx_sharding = NamedSharding(mesh, P("data"))
+        # fields come back replicated so the host can fetch them for
+        # marching cubes (the all-gather rides ICI, inserted by GSPMD)
+        out_sharding = NamedSharding(mesh, P())
+        run_jit = jax.jit(run, in_shardings=(None, idx_sharding),
+                          out_shardings=out_sharding)
+        if jax.process_count() > 1:
+            idx_dev = jax.make_array_from_callback(
+                (total,), idx_sharding, lambda sl: idx_host[sl])
+        else:
+            idx_dev = jax.device_put(idx_host, idx_sharding)
     else:
+        run_jit = jax.jit(run)
         idx_dev = jnp.asarray(idx_host)
 
     def evaluate(ctx: Dict[str, Any]) -> GridResult:

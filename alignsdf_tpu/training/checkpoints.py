@@ -42,30 +42,46 @@ def optimizer_params_dir(experiment_dir: str) -> str:
     return os.path.join(experiment_dir, OPTIMIZER_PARAMS_SUBDIR)
 
 
+def _barrier(tag: str) -> None:
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(tag)
+
+
 def _atomic_save(path: str, payload: Dict[str, Any]) -> None:
-    """Write payload to ``path`` via tmp-dir + rename swap."""
+    """Write payload to ``path`` via tmp-dir + rename swap.
+
+    Multi-process: every process must enter (orbax's save is collective —
+    it runs its own cross-process barriers); the filesystem swap happens on
+    process 0 only, fenced so other processes never observe a half-swapped
+    checkpoint.
+    """
     path = os.path.abspath(path)
     tmp = path + ".tmp"
     old = path + ".old"
-    for stale in (tmp, old):
-        if os.path.exists(stale):
-            shutil.rmtree(stale)
+    if jax.process_index() == 0:
+        for stale in (tmp, old):
+            if os.path.exists(stale):
+                shutil.rmtree(stale)
+    _barrier(f"ckpt_clean:{path}")
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(tmp, payload)
     ckptr.wait_until_finished()
-    if os.path.exists(path):
-        os.rename(path, old)
-    os.rename(tmp, path)
-    if os.path.exists(old):
-        shutil.rmtree(old)
+    _barrier(f"ckpt_written:{path}")
+    if jax.process_index() == 0:
+        if os.path.exists(path):
+            os.rename(path, old)
+        os.rename(tmp, path)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+    _barrier(f"ckpt_swapped:{path}")
 
 
 def save_checkpoint(experiment_dir: str, state: TrainState, epoch: int,
                     name: str = "latest") -> None:
     """Save model and optimizer payloads under the reference's two-directory
-    layout (reference train.py:105-130)."""
-    if jax.process_index() != 0:
-        return
+    layout (reference train.py:105-130).  Call from every process."""
     _atomic_save(
         os.path.join(model_params_dir(experiment_dir), name),
         {

@@ -1,0 +1,67 @@
+"""Multi-process (multi-host) validation: 2 jax.distributed processes on
+localhost (4 virtual CPU devices each) run the full train step, the sharded
+grid eval and a collective checkpoint save/restore; losses and grid fields
+must match a single-process 8-device run (reference equivalent: SLURM-only
+multi-node runs, reference train.py:205-228)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _spawn(process_id, num_processes, devices, out, workdir, port):
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={devices}"
+    env.pop("JAX_PLATFORMS", None)
+    return subprocess.Popen(
+        [sys.executable, "-m", "alignsdf_tpu.parallel.validate",
+         "--coordinator", f"localhost:{port}",
+         "--num_processes", str(num_processes),
+         "--process_id", str(process_id),
+         "--out", out, "--workdir", workdir, "--cpu"],
+        cwd=REPO, env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+    )
+
+
+@pytest.mark.timeout(600)
+def test_two_process_run_matches_single_process(tmp_path):
+    port = 12000 + os.getpid() % 2000
+    mp_out = [str(tmp_path / f"mp_{i}.json") for i in range(2)]
+    procs = [
+        _spawn(i, 2, 4, mp_out[i], str(tmp_path / "mp_work"), port)
+        for i in range(2)
+    ]
+    logs = [p.communicate(timeout=500)[0].decode() for p in procs]
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, log[-3000:]
+
+    sp_out = str(tmp_path / "sp.json")
+    sp = _spawn(0, 1, 8, sp_out, str(tmp_path / "sp_work"), port + 1)
+    log = sp.communicate(timeout=500)[0].decode()
+    assert sp.returncode == 0, log[-3000:]
+
+    results = [json.load(open(p)) for p in mp_out]
+    single = json.load(open(sp_out))
+
+    # both ranks observed the same replicated state
+    assert results[0]["grid_sum"] == results[1]["grid_sum"]
+    assert results[0]["losses"] == results[1]["losses"]
+    # checkpoint round-trip exact on every rank
+    for r in results + [single]:
+        assert r["ckpt_roundtrip_max_dev"] == 0.0
+        assert r["restored_epoch"] == 3
+
+    # 2-process == 1-process up to collective reduction order (f32)
+    np.testing.assert_allclose(results[0]["grid_sum"], single["grid_sum"],
+                               rtol=1e-4)
+    for step_mp, step_sp in zip(results[0]["losses"], single["losses"]):
+        for key in step_sp:
+            np.testing.assert_allclose(step_mp[key], step_sp[key], rtol=1e-4,
+                                       atol=1e-5, err_msg=key)
