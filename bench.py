@@ -13,10 +13,13 @@ Prints ONE json line:
    "vs_baseline": ...}
 
 ``vs_baseline`` is measured throughput divided by the PyTorch reference's
-estimated A100 grid-eval throughput.  The reference repo publishes no numbers
-(BASELINE.md); we use 2.5e6 queries/s — an estimate for the reference's
-chunked (2^18) torch pipeline with per-chunk host sync on A100 — so
-vs_baseline >= 10 is the BASELINE.json target.
+A100 grid-eval throughput.  The reference repo publishes no numbers
+(BASELINE.md), so the denominator is MEASURED + DERIVED
+(tools/bench_reference_decoder.py): the reference SeparateDecoder measured on
+this host's CPU sustains 44.1k q/s = 139 GFLOP/s at 3.148 MFLOP/query;
+scaling to an A100's 19.5 TFLOP/s fp32 peak at a generous 50% utilization
+(eager fp32 torch does not use TF32 tensor cores on this code path) gives
+3.1e6 q/s.  vs_baseline >= 10 is the BASELINE.json target.
 """
 
 import json
@@ -35,7 +38,7 @@ from alignsdf_tpu.ops.decoder_kernel import (
     make_pallas_decode_fn,
 )
 
-A100_TORCH_REF_QPS = 2.5e6  # estimated reference throughput (see module docstring)
+A100_TORCH_REF_QPS = 3.1e6  # measured-CPU + derived-A100 (module docstring)
 
 
 def bench_train():
