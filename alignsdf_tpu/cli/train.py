@@ -82,6 +82,9 @@ def main(argv: Optional[list] = None) -> None:
                         help="2 steps on synthetic data; no checkpoints")
     parser.add_argument("--slow_prng", action="store_true",
                         help="use threefry for dropout instead of rbg")
+    parser.add_argument("--fused_decoder", action="store_true",
+                        help="fused Pallas decoder forward+backward with "
+                             "in-kernel dropout (TPU; XLA decoder otherwise)")
     parser.add_argument("--slurm", action="store_true",
                         help="install the SLURM SIGUSR1 requeue handler")
     parser.add_argument("--profile_steps", type=int, default=0,
@@ -141,7 +144,15 @@ def main(argv: Optional[list] = None) -> None:
             start_epoch = saved_epoch + 1
             logger.info("resumed from %s at epoch %d", name, saved_epoch)
 
-    train_step = make_train_step(model, specs, optimizer)
+    decoder_override = None
+    if args.fused_decoder:
+        from alignsdf_tpu.ops.decoder_train_kernel import make_fused_train_decoder
+
+        decoder_override = make_fused_train_decoder(specs)
+        if decoder_override is None:
+            logger.warning("decoder structure unsupported by the fused train "
+                           "kernel; using the XLA decoder")
+    train_step = make_train_step(model, specs, optimizer, decoder_override)
     replicate = NamedSharding(mesh, P())
     step_jit = jax.jit(
         train_step,

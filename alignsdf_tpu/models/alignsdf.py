@@ -93,6 +93,25 @@ class AlignSDF(nn.Module):
         train: bool = False,
         dropout_rng: Optional[jax.Array] = None,
     ):
+        decoder_inputs, mano_results, obj_results = self.decoder_inputs(
+            image, xyz, cond_input, train=train)
+        sdf_hand, sdf_obj, pred_class = self.decoder(
+            decoder_inputs, train=train, dropout_rng=dropout_rng
+        )
+        return sdf_hand, sdf_obj, pred_class, mano_results, obj_results
+
+    def decoder_inputs(
+        self,
+        image: jax.Array,
+        xyz: jax.Array,
+        cond_input: Dict[str, jax.Array],
+        *,
+        train: bool = False,
+    ):
+        """Everything up to (but excluding) the SDF decoder: encoder, MANO,
+        object pose, latent gather, point embedding.  Split out so the train
+        step can swap the decoder for the fused Pallas forward+backward kernel
+        (ops/decoder_train_kernel) while this part stays on XLA."""
         specs = self.specs
         if self._point_encoder:
             # point-cloud backbones condition on the per-scene query cloud
@@ -163,10 +182,7 @@ class AlignSDF(nn.Module):
             xyz_embed = xyz
 
         decoder_inputs = jnp.concatenate([latent, xyz_embed], axis=1)
-        sdf_hand, sdf_obj, pred_class = self.decoder(
-            decoder_inputs, train=train, dropout_rng=dropout_rng
-        )
-        return sdf_hand, sdf_obj, pred_class, mano_results, obj_results
+        return decoder_inputs, mano_results, obj_results
 
 
     def encode_scene(self, image, cam_intr, mano_root, rest_obj_corners,

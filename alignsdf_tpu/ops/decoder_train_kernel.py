@@ -1,0 +1,410 @@
+"""Fused Pallas decoder for the TRAINING path: forward + backward kernels with
+in-kernel dropout, wrapped in a jax.custom_vjp.
+
+The decoder is the second-largest slice of the train step (~20 ms of the 43 ms
+bf16 step at batch 64 x 2000 pts, BASELINE.md ablation), and the XLA path pays
+for it twice over: dropout masks are materialized in HBM (8 x (128k, 512)
+random tensors per step) and every linear/relu/dropout boundary is an HBM
+round trip.  Here each trunk runs as ONE kernel per direction:
+
+  forward  — streams point blocks through the [linear -> (+re-injection) ->
+             ReLU -> dropout] x L -> tanh chain with weights resident in VMEM,
+             storing only the pre-activations (the minimal residual: ReLU and
+             dropout masks are *recomputed* in backward, never stored);
+  backward — re-derives the masks, runs the reverse chain, and accumulates
+             dW/db in VMEM across the sequential TPU grid (revisited output
+             blocks), emitting per-block dx.
+
+Dropout uses a counter-based hash (murmur-style finalizer of
+(seed, layer, global row, lane)) instead of a stateful PRNG: identical bits in
+forward and backward by construction, no RNG state, and exact replay in
+pallas interpret mode on CPU for the parity tests.  The Bernoulli(keep)
+distribution matches the XLA path's uint16-threshold masks; the streams
+differ (documented — same training distribution, different RNG).
+
+Weight-norm materialization and padding happen OUTSIDE the custom_vjp in
+plain jnp (ops/decoder_kernel.build_branch_plan), so gradients flow through
+g·v/||v|| automatically and the kernel sees dense matrices.
+
+Structure supported: the canonical AlignSDF decoders — weight_norm trunks,
+latent_in re-injection, dropout on hidden layers, final tanh, classifier at
+the last layer's input (reference networks/model.py:191-350).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from alignsdf_tpu.config import NetworkSpecs, Specs
+from alignsdf_tpu.ops.decoder_kernel import (
+    _round_up,
+    build_branch_plan,
+    pad_inputs,
+    separate_decoder_inputs,
+)
+
+
+def _dropout_gate(seed, layer: int, blk: int, out_pad: int, keep: float,
+                  block_idx):
+    """Deterministic Bernoulli(keep) gate for one (blk, out_pad) tile:
+    murmur3-style finalizer of (seed, layer, global row, lane).  uint32
+    arithmetic wraps; identical bits wherever it is evaluated."""
+    row = jax.lax.broadcasted_iota(jnp.uint32, (blk, out_pad), 0)
+    col = jax.lax.broadcasted_iota(jnp.uint32, (blk, out_pad), 1)
+    grow = row + jnp.uint32(blk) * block_idx.astype(jnp.uint32)
+    h = (seed.astype(jnp.uint32)
+         ^ (grow * jnp.uint32(0x9E3779B1))
+         ^ (col * jnp.uint32(0x85EBCA6B))
+         ^ jnp.uint32((layer * 0xC2B2AE35) & 0xFFFFFFFF))
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x7FEB352D)
+    h = h ^ (h >> 15)
+    h = h * jnp.uint32(0x846CA68B)
+    h = h ^ (h >> 16)
+    thresh = jnp.uint32(min(int(round(keep * 2 ** 32)), 2 ** 32 - 1))
+    return (h < thresh).astype(jnp.float32) * jnp.float32(1.0 / keep)
+
+
+def _plan_statics(n_layers: int, inject_pattern: Tuple[bool, ...],
+                  dropout_pattern: Tuple[bool, ...], keep: float,
+                  block: int, compute_dtype: str, train: bool,
+                  interpret: bool):
+    return (n_layers, inject_pattern, dropout_pattern, float(keep), int(block),
+            compute_dtype, bool(train), bool(interpret))
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def fused_branch(static, weights, injects, biases, x0, seed):
+    """One trunk, fused: returns (y (M, 128) f32, x_last (M, H_pad) f32).
+
+    ``y`` column 0 (and 1 for combined trunks) is the tanh'd SDF; ``x_last``
+    is the final layer's input — the classifier head consumes it in XLA so
+    its gradient flows back through the custom VJP's second cotangent.
+    """
+    (y, x_last), _ = _fused_branch_fwd(static, weights, injects, biases, x0,
+                                       seed)
+    return y, x_last
+
+
+def _fwd_kernel(static, seed_ref, x0_ref, *refs):
+    n_layers, inject_p, dropout_p, keep, block, cdtype, train, _ = static
+    dtype = jnp.dtype(cdtype)
+    n_inj = sum(inject_p)
+    w_refs, refs = refs[:n_layers], refs[n_layers:]
+    inj_refs, refs = refs[:n_inj], refs[n_inj:]
+    b_refs, refs = refs[:n_layers], refs[n_layers:]
+    y_ref, xlast_ref = refs[0], refs[1]
+    a_refs = refs[2:]
+
+    gid = pl.program_id(0)
+    seed = seed_ref[0]
+    inj_it = iter(inj_refs)
+    injs = [next(inj_it) if p else None for p in inject_p]
+
+    x0 = x0_ref[:].astype(dtype)
+    x = x0
+    for layer in range(n_layers):
+        if layer == n_layers - 1:
+            xlast_ref[:] = x.astype(jnp.float32)
+        acc = jnp.dot(x, w_refs[layer][:].astype(dtype),
+                      preferred_element_type=jnp.float32)
+        if injs[layer] is not None:
+            acc = acc + jnp.dot(x0, injs[layer][:].astype(dtype),
+                                preferred_element_type=jnp.float32)
+        acc = acc + b_refs[layer][:]
+        if layer < n_layers - 1:
+            a_refs[layer][:] = acc  # pre-activation residual
+            x = jnp.maximum(acc, 0.0)
+            if train and dropout_p[layer]:
+                x = x * _dropout_gate(seed, layer, x.shape[0], x.shape[1],
+                                      keep, gid)
+            x = x.astype(dtype)
+        else:
+            y_ref[:] = jnp.tanh(acc)
+
+
+def _fused_branch_fwd(static, weights, injects, biases, x0, seed):
+    n_layers, inject_p, dropout_p, keep, block, cdtype, train, interpret = static
+    m = x0.shape[0]
+    m_pad = _round_up(m, block)
+    if m_pad != m:
+        x0 = jnp.pad(x0, ((0, m_pad - m), (0, 0)))
+    in_pad = x0.shape[1]
+    h_pads = [w.shape[1] for w in weights]
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+
+    inj_flat = [w for w in injects if w is not None]
+    grid = (m_pad // block,)
+
+    def rep_spec(op):
+        return pl.BlockSpec(op.shape,
+                            partial(lambda nd, i: (0,) * nd, len(op.shape)),
+                            memory_space=pltpu.VMEM)
+
+    out_shapes = (
+        [jax.ShapeDtypeStruct((m_pad, h_pads[-1]), jnp.float32),      # y
+         jax.ShapeDtypeStruct((m_pad, h_pads[-2]), jnp.float32)]      # x_last
+        + [jax.ShapeDtypeStruct((m_pad, h_pads[i]), jnp.float32)
+           for i in range(n_layers - 1)]                               # a_i
+    )
+    out_specs = (
+        [pl.BlockSpec((block, h_pads[-1]), lambda i: (i, 0),
+                      memory_space=pltpu.VMEM),
+         pl.BlockSpec((block, h_pads[-2]), lambda i: (i, 0),
+                      memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec((block, h_pads[i]), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+           for i in range(n_layers - 1)]
+    )
+
+    outs = pl.pallas_call(
+        partial(_fwd_kernel, static),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((block, in_pad), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            *[rep_spec(w) for w in weights],
+            *[rep_spec(w) for w in inj_flat],
+            *[rep_spec(b) for b in biases],
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(seed_arr, x0, *weights, *inj_flat, *biases)
+
+    y, x_last, *a_list = outs
+    res = (weights, injects, x0, tuple(a_list), y, seed_arr, m)
+    return (y[:m], x_last[:m]), res
+
+
+def _bwd_kernel(static, seed_ref, x0_ref, dy_ref, dxlast_ref, *refs):
+    n_layers, inject_p, dropout_p, keep, block, cdtype, train, _ = static
+    dtype = jnp.dtype(cdtype)
+    n_inj = sum(inject_p)
+    w_refs, refs = refs[:n_layers], refs[n_layers:]
+    inj_refs, refs = refs[:n_inj], refs[n_inj:]
+    a_refs, refs = refs[:n_layers - 1], refs[n_layers - 1:]
+    y_ref = refs[0]
+    out_refs = refs[1:]
+    dx0_ref = out_refs[0]
+    dw_refs = out_refs[1:1 + n_layers]
+    dinj_refs = out_refs[1 + n_layers:1 + n_layers + n_inj]
+    db_refs = out_refs[1 + n_layers + n_inj:]
+
+    gid = pl.program_id(0)
+    seed = seed_ref[0]
+
+    @pl.when(gid == 0)
+    def _init():
+        for r in list(dw_refs) + list(dinj_refs) + list(db_refs):
+            r[:] = jnp.zeros_like(r)
+
+    inj_it = iter(inj_refs)
+    injs = [next(inj_it) if p else None for p in inject_p]
+    dinj_it = iter(dinj_refs)
+    dinjs = [next(dinj_it) if p else None for p in inject_p]
+
+    x0 = x0_ref[:].astype(dtype)
+    blk = x0.shape[0]
+
+    # phase 1: recompute layer inputs x_l and combined relu*dropout gates
+    # (x_l = relu(a) * dropgate == a * gate, since gate is 0 wherever a <= 0)
+    xs = [x0]
+    gates = []
+    for layer in range(n_layers - 1):
+        a = a_refs[layer][:]
+        gate = (a > 0.0).astype(jnp.float32)
+        if train and dropout_p[layer]:
+            gate = gate * _dropout_gate(seed, layer, blk, a.shape[1], keep,
+                                        gid)
+        gates.append(gate)
+        xs.append((a * gate).astype(dtype))
+
+    def mm_t_lhs(x, d):  # x^T @ d without an explicit transpose
+        return jax.lax.dot_general(x.astype(dtype), d.astype(dtype),
+                                   (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    # phase 2: reverse chain
+    y = y_ref[:]
+    dpre = dy_ref[:] * (1.0 - y * y)  # tanh'
+    dx0_acc = jnp.zeros_like(x0, dtype=jnp.float32)
+    row0 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0) == 0
+    for layer in range(n_layers - 1, -1, -1):
+        x_l = xs[layer]
+        dw_refs[layer][:] += mm_t_lhs(x_l, dpre)
+        db_refs[layer][:] += jnp.where(
+            row0, jnp.sum(dpre, axis=0, keepdims=True), 0.0)
+        if dinjs[layer] is not None:
+            dinjs[layer][:] += mm_t_lhs(x0, dpre)
+            dx0_acc = dx0_acc + jax.lax.dot_general(
+                dpre.astype(dtype), injs[layer][:].astype(dtype),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        dx = jax.lax.dot_general(
+            dpre.astype(dtype), w_refs[layer][:].astype(dtype),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        if layer == n_layers - 1:
+            dx = dx + dxlast_ref[:]  # classifier-head cotangent enters here
+        if layer > 0:
+            dpre = dx * gates[layer - 1]
+        else:
+            dx0_acc = dx0_acc + dx
+    dx0_ref[:] = dx0_acc
+
+
+def _fused_branch_bwd(static, res, cots):
+    n_layers, inject_p, dropout_p, keep, block, cdtype, train, interpret = static
+    weights, injects, x0, a_list, y, seed_arr, m = res
+    dy, dx_last = cots
+    m_pad = x0.shape[0]
+    if m_pad != m:
+        dy = jnp.pad(dy, ((0, m_pad - m), (0, 0)))
+        dx_last = jnp.pad(dx_last, ((0, m_pad - m), (0, 0)))
+    in_pad = x0.shape[1]
+    inj_flat = [w for w in injects if w is not None]
+    n_inj = len(inj_flat)
+    grid = (m_pad // block,)
+
+    def rep_spec(op):
+        return pl.BlockSpec(op.shape,
+                            partial(lambda nd, i: (0,) * nd, len(op.shape)),
+                            memory_space=pltpu.VMEM)
+
+    def acc_spec(shape):  # accumulated across the sequential grid
+        return pl.BlockSpec(shape, partial(lambda nd, i: (0,) * nd, len(shape)),
+                            memory_space=pltpu.VMEM)
+
+    blk_spec = lambda w: pl.BlockSpec((block, w), lambda i: (i, 0),  # noqa: E731
+                                      memory_space=pltpu.VMEM)
+
+    out_shapes = (
+        [jax.ShapeDtypeStruct((m_pad, in_pad), jnp.float32)]
+        + [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in weights]
+        + [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in inj_flat]
+        + [jax.ShapeDtypeStruct((8, w.shape[1]), jnp.float32)  # db in row 0
+           for w in weights]
+    )
+    out_specs = (
+        [blk_spec(in_pad)]
+        + [acc_spec(w.shape) for w in weights]
+        + [acc_spec(w.shape) for w in inj_flat]
+        + [acc_spec((8, w.shape[1])) for w in weights]
+    )
+
+    outs = pl.pallas_call(
+        partial(_bwd_kernel, static),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            blk_spec(in_pad),                       # x0
+            blk_spec(dy.shape[1]),                  # dy
+            blk_spec(dx_last.shape[1]),             # dx_last
+            *[rep_spec(w) for w in weights],
+            *[rep_spec(w) for w in inj_flat],
+            *[blk_spec(a.shape[1]) for a in a_list],
+            blk_spec(y.shape[1]),                   # y
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(seed_arr, x0, dy, dx_last, *weights, *inj_flat, *a_list, y)
+
+    dx0 = outs[0][:m]
+    dws = tuple(outs[1:1 + n_layers])
+    dinj_flat = list(outs[1 + n_layers:1 + n_layers + n_inj])
+    it = iter(dinj_flat)
+    dinjects = tuple(next(it) if p else None for p in inject_p)
+    dbs = tuple(o[0:1] for o in outs[1 + n_layers + n_inj:])  # db lives in row 0
+    return dws, dinjects, dbs, dx0, None
+
+
+fused_branch.defvjp(_fused_branch_fwd, _fused_branch_bwd)
+
+
+def make_fused_train_decoder(specs: Specs, block: int = 256,
+                             interpret: Optional[bool] = None):
+    """decode(decoder_params, inputs, seed, train) -> (sdf_h, sdf_o, logits),
+    differentiable wrt decoder_params and inputs, for the training step.
+
+    Returns None when the decoder structure falls outside the kernel
+    (LayerNorm trunks / use_tanh / latent_dropout / xyz_in_all) — callers
+    keep the XLA path.  ``interpret`` defaults to True on the CPU backend
+    (tests) and False on TPU.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    ns = specs.network_specs
+    if (not ns.weight_norm or ns.use_tanh or ns.latent_dropout
+            or ns.xyz_in_all):
+        return None
+    ls, pfs = specs.latent_size, specs.point_feat_size
+    combined = specs.model_type == "1encoder1decoder"
+    keep = 1.0 - ns.dropout_prob
+    n_layers = len(ns.dims) + 1
+    inject_pattern = tuple(layer in ns.latent_in for layer in range(n_layers))
+    dropout_pattern = tuple(bool(ns.dropout) and layer in ns.dropout
+                            for layer in range(n_layers - 1))
+    cdtype = specs.compute_dtype
+
+    def branch_in_dims():
+        style = specs.encode_style
+        if combined or style == "nerf":
+            return ls + pfs, ls + pfs
+        if style == "hand":
+            return ls + pfs, ls + 3
+        if style == "obj":
+            return ls + 3, ls + pfs
+        return ls + pfs - 3, ls + 6  # both
+
+    in_hand, in_obj = branch_in_dims()
+
+    def run_branch(branch_params, prefix, in_dim, out_dim, x, seed, train):
+        plan = build_branch_plan(branch_params, prefix, in_dim, ns, out_dim,
+                                 dtype=jnp.float32)
+        static = _plan_statics(n_layers, inject_pattern, dropout_pattern,
+                               keep, block, cdtype, train, interpret)
+        x = pad_inputs(x, plan.weights[0].shape[0])
+        y, x_last = fused_branch(static, plan.weights, plan.inject_weights,
+                                 plan.biases, x, seed)
+        return y, x_last
+
+    def classifier_apply(branch_params, x_last):
+        from alignsdf_tpu.ops.decoder_kernel import _materialize_linear
+
+        cw, cb = _materialize_linear(branch_params["classifier_head"])
+        logits = x_last[:, :cw.shape[0]] @ cw + cb
+        return logits.astype(jnp.float32)
+
+    if combined:
+        def decode(decoder_params, inputs, seed, train=True):
+            trunk = decoder_params["trunk"]
+            y, x_last = run_branch(trunk, "lin", ls + pfs, 2, inputs, seed,
+                                   train)
+            logits = (classifier_apply(trunk, x_last)
+                      if specs.classifier_branch else None)
+            return y[:, 0:1], y[:, 1:2], logits
+
+        return decode
+
+    def decode(decoder_params, inputs, seed, train=True):
+        xh, xo = separate_decoder_inputs(specs, inputs)
+        hand = decoder_params["hand"]
+        y_h, x_last = run_branch(hand, "linh", in_hand, 1, xh, seed, train)
+        y_o, _ = run_branch(decoder_params["obj"], "lino", in_obj, 1, xo,
+                            seed + 1, train)
+        logits = (
+            classifier_apply(hand, x_last)
+            if specs.classifier_branch and "classifier_head" in hand else None
+        )
+        return y_h[:, 0:1], y_o[:, 0:1], logits
+
+    return decode

@@ -54,8 +54,15 @@ def build_batch_masks(specs: Specs, batch_size: int, additional_active) -> Tuple
     return ones, ones
 
 
-def make_train_step(model: AlignSDF, specs: Specs, optimizer: optax.GradientTransformation):
-    """Build the pure train-step function (jit it with appropriate shardings)."""
+def make_train_step(model: AlignSDF, specs: Specs,
+                    optimizer: optax.GradientTransformation,
+                    decoder_override=None):
+    """Build the pure train-step function (jit it with appropriate shardings).
+
+    ``decoder_override``: optional fused decoder
+    ``decode(decoder_params, inputs, seed, train) -> (sdf_h, sdf_o, logits)``
+    (ops/decoder_train_kernel.make_fused_train_decoder) replacing the XLA
+    decoder forward+backward; the rest of the model stays on XLA."""
 
     def train_step(state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array):
         additional_active = (state.epoch >= specs.additional_loss_start).astype(jnp.float32)
@@ -70,19 +77,26 @@ def make_train_step(model: AlignSDF, specs: Specs, optimizer: optax.GradientTran
             variables = {"params": params, "batch_stats": state.batch_stats}
             if state.consts:
                 variables["consts"] = state.consts
-            outputs, mutated = model.apply(
-                variables,
-                batch["image"],
-                batch["xyz"],
-                {
-                    "cam_intr": batch["cam_intr"],
-                    "mano_root": batch["mano_root"],
-                    "rest_obj_corners": batch["rest_obj_corners"],
-                },
-                train=True,
-                dropout_rng=rng,
-                mutable=["batch_stats"],
-            )
+            cond = {
+                "cam_intr": batch["cam_intr"],
+                "mano_root": batch["mano_root"],
+                "rest_obj_corners": batch["rest_obj_corners"],
+            }
+            if decoder_override is None:
+                outputs, mutated = model.apply(
+                    variables, batch["image"], batch["xyz"], cond,
+                    train=True, dropout_rng=rng, mutable=["batch_stats"],
+                )
+            else:
+                (dec_in, mano_results, obj_results), mutated = model.apply(
+                    variables, batch["image"], batch["xyz"], cond,
+                    train=True, mutable=["batch_stats"],
+                    method=model.decoder_inputs,
+                )
+                seed = jax.random.randint(rng, (), 0, jnp.iinfo(jnp.int32).max)
+                sdf_hand, sdf_obj, logits = decoder_override(
+                    params["decoder"], dec_in, seed, train=True)
+                outputs = (sdf_hand, sdf_obj, logits, mano_results, obj_results)
             losses = compute_losses(specs, outputs, loss_batch, additional_active)
             return losses["total"], (losses, mutated["batch_stats"])
 

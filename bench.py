@@ -65,7 +65,14 @@ def bench_train():
     opt = make_optimizer(specs)
     rng = jax.random.PRNGKey(0)
     state = init_train_state(model, specs, rng, opt)
-    step = jax.jit(make_train_step(model, specs, opt), donate_argnums=(0,))
+    decoder_override = None
+    if "--fused-decoder" in sys.argv:
+        from alignsdf_tpu.ops.decoder_train_kernel import make_fused_train_decoder
+
+        decoder_override = make_fused_train_decoder(specs)
+        assert decoder_override is not None
+    step = jax.jit(make_train_step(model, specs, opt, decoder_override),
+                   donate_argnums=(0,))
     b = specs.scenes_per_batch
     batch = {k: jnp.asarray(v) for k, v in synthetic_train_batch(specs, batch_size=b).items()}
     rng = jax.random.key(0, impl="rbg")  # TPU-native dropout stream (cli/train.py)
