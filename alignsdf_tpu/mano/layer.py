@@ -91,16 +91,19 @@ def load_mano_model(
     hands_mean = (
         np.zeros_like(raw["hands_mean"]) if flat_hand_mean else raw["hands_mean"]
     ).astype(np.float32)
+    # host numpy leaves (NOT device arrays): the model pytree gets closed
+    # into TrainState.consts, and jitted steps with buffer donation would
+    # consume shared device buffers — numpy leaves are copied per dispatch
     return ManoModel(
-        v_template=jnp.asarray(raw["v_template"], jnp.float32),
-        shapedirs=jnp.asarray(raw["shapedirs"], jnp.float32),
-        posedirs=jnp.asarray(raw["posedirs"], jnp.float32),
-        joint_regressor=jnp.asarray(raw["J_regressor"], jnp.float32),
-        weights=jnp.asarray(raw["weights"], jnp.float32),
-        hands_components=jnp.asarray(raw["hands_components"][:ncomps], jnp.float32),
-        hands_mean=jnp.asarray(hands_mean, jnp.float32),
-        betas_default=jnp.asarray(raw["betas"][:10], jnp.float32),
-        tips_idx=jnp.asarray(_TIPS_RIGHT if side == "right" else _TIPS_LEFT),
+        v_template=np.asarray(raw["v_template"], np.float32),
+        shapedirs=np.asarray(raw["shapedirs"], np.float32),
+        posedirs=np.asarray(raw["posedirs"], np.float32),
+        joint_regressor=np.asarray(raw["J_regressor"], np.float32),
+        weights=np.asarray(raw["weights"], np.float32),
+        hands_components=np.asarray(raw["hands_components"][:ncomps], np.float32),
+        hands_mean=np.asarray(hands_mean, np.float32),
+        betas_default=np.asarray(raw["betas"][:10], np.float32),
+        tips_idx=np.asarray(_TIPS_RIGHT if side == "right" else _TIPS_LEFT),
         faces=np.asarray(raw["faces"], np.int32),
     )
 

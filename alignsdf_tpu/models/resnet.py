@@ -52,23 +52,41 @@ class TorchBatchNorm(nn.Module):
             "batch_stats", "var", lambda: jnp.ones((features,), jnp.float32)
         )
 
-        # statistics and normalization always in float32 (running stats stay
-        # f32 under a bfloat16 compute dtype); output in the input dtype
+        # statistics always accumulate in float32 (running stats stay f32
+        # under a bfloat16 compute dtype); output in the input dtype
         out_dtype = x.dtype
-        x = x.astype(jnp.float32)
-        if train:
-            reduce_axes = tuple(range(x.ndim - 1))
+        reduce_axes = tuple(range(x.ndim - 1))
+        n = np.prod([x.shape[a] for a in reduce_axes])
+        fast = train and out_dtype != jnp.float32
+        if fast:
+            # bf16 fast path: ONE read of x computes both moments (sibling
+            # f32-accumulated reductions fuse into a single pass), and the
+            # normalization is a single bf16 x*a+b — the two-pass f32 chain
+            # below costs ~30% of the encoder step (xplane trace, BASELINE.md)
+            x32 = x.astype(jnp.float32)
+            s1 = jnp.sum(x32, axis=reduce_axes)
+            s2 = jnp.sum(jnp.square(x32), axis=reduce_axes)
+            mean = s1 / n
+            var = jnp.maximum(s2 / n - jnp.square(mean), 0.0)
+        elif train:
+            x = x.astype(jnp.float32)
             mean = jnp.mean(x, axis=reduce_axes)
             var = jnp.mean(jnp.square(x - mean), axis=reduce_axes)
-            n = np.prod([x.shape[a] for a in reduce_axes])
+        else:
+            x = x.astype(jnp.float32)
+            mean, var = ra_mean.value, ra_var.value
+
+        if train:
             unbiased = var * (n / max(n - 1, 1))
             if not self.is_initializing():
                 ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
                 ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased
-        else:
-            mean, var = ra_mean.value, ra_var.value
 
         inv = jax.lax.rsqrt(var + self.epsilon)
+        if fast:
+            a = (inv * scale).astype(out_dtype)
+            b = (bias - mean * inv * scale).astype(out_dtype)
+            return x * a + b
         return ((x - mean) * inv * scale + bias).astype(out_dtype)
 
 

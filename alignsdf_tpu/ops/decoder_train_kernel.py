@@ -75,9 +75,9 @@ def _dropout_gate(seed, layer: int, blk: int, out_pad: int, keep: float,
 def _plan_statics(n_layers: int, inject_pattern: Tuple[bool, ...],
                   dropout_pattern: Tuple[bool, ...], keep: float,
                   block: int, compute_dtype: str, train: bool,
-                  interpret: bool):
+                  interpret: bool, need_xlast: bool = True):
     return (n_layers, inject_pattern, dropout_pattern, float(keep), int(block),
-            compute_dtype, bool(train), bool(interpret))
+            compute_dtype, bool(train), bool(interpret), bool(need_xlast))
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -94,14 +94,16 @@ def fused_branch(static, weights, injects, biases, x0, seed):
 
 
 def _fwd_kernel(static, seed_ref, x0_ref, *refs):
-    n_layers, inject_p, dropout_p, keep, block, cdtype, train, _ = static
+    (n_layers, inject_p, dropout_p, keep, block, cdtype, train, _,
+     need_xlast) = static
     dtype = jnp.dtype(cdtype)
     n_inj = sum(inject_p)
     w_refs, refs = refs[:n_layers], refs[n_layers:]
     inj_refs, refs = refs[:n_inj], refs[n_inj:]
     b_refs, refs = refs[:n_layers], refs[n_layers:]
-    y_ref, xlast_ref = refs[0], refs[1]
-    a_refs = refs[2:]
+    y_ref = refs[0]
+    xlast_ref = refs[1] if need_xlast else None
+    a_refs = refs[2:] if need_xlast else refs[1:]
 
     gid = pl.program_id(0)
     seed = seed_ref[0]
@@ -111,16 +113,16 @@ def _fwd_kernel(static, seed_ref, x0_ref, *refs):
     x0 = x0_ref[:].astype(dtype)
     x = x0
     for layer in range(n_layers):
-        if layer == n_layers - 1:
+        if layer == n_layers - 1 and xlast_ref is not None:
             xlast_ref[:] = x.astype(jnp.float32)
-        acc = jnp.dot(x, w_refs[layer][:].astype(dtype),
+        acc = jnp.dot(x, w_refs[layer][:],
                       preferred_element_type=jnp.float32)
         if injs[layer] is not None:
-            acc = acc + jnp.dot(x0, injs[layer][:].astype(dtype),
+            acc = acc + jnp.dot(x0, injs[layer][:],
                                 preferred_element_type=jnp.float32)
         acc = acc + b_refs[layer][:]
         if layer < n_layers - 1:
-            a_refs[layer][:] = acc  # pre-activation residual
+            a_refs[layer][:] = acc.astype(a_refs[layer].dtype)  # residual
             x = jnp.maximum(acc, 0.0)
             if train and dropout_p[layer]:
                 x = x * _dropout_gate(seed, layer, x.shape[0], x.shape[1],
@@ -131,7 +133,8 @@ def _fwd_kernel(static, seed_ref, x0_ref, *refs):
 
 
 def _fused_branch_fwd(static, weights, injects, biases, x0, seed):
-    n_layers, inject_p, dropout_p, keep, block, cdtype, train, interpret = static
+    (n_layers, inject_p, dropout_p, keep, block, cdtype, train, interpret,
+     need_xlast) = static
     m = x0.shape[0]
     m_pad = _round_up(m, block)
     if m_pad != m:
@@ -139,8 +142,15 @@ def _fused_branch_fwd(static, weights, injects, biases, x0, seed):
     in_pad = x0.shape[1]
     h_pads = [w.shape[1] for w in weights]
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+    rdtype = jnp.dtype(cdtype)  # residual dtype (halves HBM traffic on bf16)
 
-    inj_flat = [w for w in injects if w is not None]
+    # cast weights to the compute dtype ONCE here (not per block in-kernel)
+    dt = jnp.dtype(cdtype)
+    weights_k = [w.astype(dt) for w in weights]
+    injects_k = [w.astype(dt) if w is not None else None for w in injects]
+    x0 = x0.astype(dt)
+
+    inj_flat = [w for w in injects_k if w is not None]
     grid = (m_pad // block,)
 
     def rep_spec(op):
@@ -148,21 +158,18 @@ def _fused_branch_fwd(static, weights, injects, biases, x0, seed):
                             partial(lambda nd, i: (0,) * nd, len(op.shape)),
                             memory_space=pltpu.VMEM)
 
-    out_shapes = (
-        [jax.ShapeDtypeStruct((m_pad, h_pads[-1]), jnp.float32),      # y
-         jax.ShapeDtypeStruct((m_pad, h_pads[-2]), jnp.float32)]      # x_last
-        + [jax.ShapeDtypeStruct((m_pad, h_pads[i]), jnp.float32)
-           for i in range(n_layers - 1)]                               # a_i
-    )
-    out_specs = (
-        [pl.BlockSpec((block, h_pads[-1]), lambda i: (i, 0),
-                      memory_space=pltpu.VMEM),
-         pl.BlockSpec((block, h_pads[-2]), lambda i: (i, 0),
-                      memory_space=pltpu.VMEM)]
-        + [pl.BlockSpec((block, h_pads[i]), lambda i: (i, 0),
-                        memory_space=pltpu.VMEM)
-           for i in range(n_layers - 1)]
-    )
+    out_shapes = [jax.ShapeDtypeStruct((m_pad, h_pads[-1]), jnp.float32)]  # y
+    out_specs = [pl.BlockSpec((block, h_pads[-1]), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)]
+    if need_xlast:  # classifier-head input (skipped when no classifier)
+        out_shapes.append(jax.ShapeDtypeStruct((m_pad, h_pads[-2]), jnp.float32))
+        out_specs.append(pl.BlockSpec((block, h_pads[-2]), lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM))
+    out_shapes += [jax.ShapeDtypeStruct((m_pad, h_pads[i]), rdtype)
+                   for i in range(n_layers - 1)]                        # a_i
+    out_specs += [pl.BlockSpec((block, h_pads[i]), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)
+                  for i in range(n_layers - 1)]
 
     outs = pl.pallas_call(
         partial(_fwd_kernel, static),
@@ -171,22 +178,32 @@ def _fused_branch_fwd(static, weights, injects, biases, x0, seed):
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((block, in_pad), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            *[rep_spec(w) for w in weights],
+            *[rep_spec(w) for w in weights_k],
             *[rep_spec(w) for w in inj_flat],
             *[rep_spec(b) for b in biases],
         ],
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
-    )(seed_arr, x0, *weights, *inj_flat, *biases)
+    )(seed_arr, x0, *weights_k, *inj_flat, *biases)
 
-    y, x_last, *a_list = outs
-    res = (weights, injects, x0, tuple(a_list), y, seed_arr, m)
-    return (y[:m], x_last[:m]), res
+    if need_xlast:
+        y, x_last, *a_list = outs
+        x_last = x_last[:m]
+    else:
+        y, *a_list = outs
+        x_last = jnp.zeros((m, h_pads[-2]), jnp.float32)  # DCE'd by XLA
+    res = (weights_k, injects_k, x0, tuple(a_list), y, seed_arr, m)
+    return (y[:m], x_last), res
 
 
-def _bwd_kernel(static, seed_ref, x0_ref, dy_ref, dxlast_ref, *refs):
-    n_layers, inject_p, dropout_p, keep, block, cdtype, train, _ = static
+def _bwd_kernel(static, seed_ref, x0_ref, dy_ref, *refs):
+    (n_layers, inject_p, dropout_p, keep, block, cdtype, train, _,
+     need_xlast) = static
+    if need_xlast:
+        dxlast_ref, refs = refs[0], refs[1:]
+    else:
+        dxlast_ref = None
     dtype = jnp.dtype(cdtype)
     n_inj = sum(inject_p)
     w_refs, refs = refs[:n_layers], refs[n_layers:]
@@ -220,7 +237,7 @@ def _bwd_kernel(static, seed_ref, x0_ref, dy_ref, dxlast_ref, *refs):
     xs = [x0]
     gates = []
     for layer in range(n_layers - 1):
-        a = a_refs[layer][:]
+        a = a_refs[layer][:].astype(jnp.float32)  # residuals may be bf16
         gate = (a > 0.0).astype(jnp.float32)
         if train and dropout_p[layer]:
             gate = gate * _dropout_gate(seed, layer, blk, a.shape[1], keep,
@@ -229,7 +246,7 @@ def _bwd_kernel(static, seed_ref, x0_ref, dy_ref, dxlast_ref, *refs):
         xs.append((a * gate).astype(dtype))
 
     def mm_t_lhs(x, d):  # x^T @ d without an explicit transpose
-        return jax.lax.dot_general(x.astype(dtype), d.astype(dtype),
+        return jax.lax.dot_general(x, d.astype(dtype),
                                    (((0,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32)
 
@@ -246,13 +263,13 @@ def _bwd_kernel(static, seed_ref, x0_ref, dy_ref, dxlast_ref, *refs):
         if dinjs[layer] is not None:
             dinjs[layer][:] += mm_t_lhs(x0, dpre)
             dx0_acc = dx0_acc + jax.lax.dot_general(
-                dpre.astype(dtype), injs[layer][:].astype(dtype),
+                dpre.astype(dtype), injs[layer][:],
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
         dx = jax.lax.dot_general(
-            dpre.astype(dtype), w_refs[layer][:].astype(dtype),
+            dpre.astype(dtype), w_refs[layer][:],
             (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        if layer == n_layers - 1:
+        if layer == n_layers - 1 and dxlast_ref is not None:
             dx = dx + dxlast_ref[:]  # classifier-head cotangent enters here
         if layer > 0:
             dpre = dx * gates[layer - 1]
@@ -262,13 +279,15 @@ def _bwd_kernel(static, seed_ref, x0_ref, dy_ref, dxlast_ref, *refs):
 
 
 def _fused_branch_bwd(static, res, cots):
-    n_layers, inject_p, dropout_p, keep, block, cdtype, train, interpret = static
+    (n_layers, inject_p, dropout_p, keep, block, cdtype, train, interpret,
+     need_xlast) = static
     weights, injects, x0, a_list, y, seed_arr, m = res
     dy, dx_last = cots
     m_pad = x0.shape[0]
     if m_pad != m:
         dy = jnp.pad(dy, ((0, m_pad - m), (0, 0)))
-        dx_last = jnp.pad(dx_last, ((0, m_pad - m), (0, 0)))
+        if need_xlast:
+            dx_last = jnp.pad(dx_last, ((0, m_pad - m), (0, 0)))
     in_pad = x0.shape[1]
     inj_flat = [w for w in injects if w is not None]
     n_inj = len(inj_flat)
@@ -307,7 +326,7 @@ def _fused_branch_bwd(static, res, cots):
             pl.BlockSpec(memory_space=pltpu.SMEM),
             blk_spec(in_pad),                       # x0
             blk_spec(dy.shape[1]),                  # dy
-            blk_spec(dx_last.shape[1]),             # dx_last
+            *([blk_spec(dx_last.shape[1])] if need_xlast else []),
             *[rep_spec(w) for w in weights],
             *[rep_spec(w) for w in inj_flat],
             *[blk_spec(a.shape[1]) for a in a_list],
@@ -316,7 +335,8 @@ def _fused_branch_bwd(static, res, cots):
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
-    )(seed_arr, x0, dy, dx_last, *weights, *inj_flat, *a_list, y)
+    )(seed_arr, x0, dy, *([dx_last] if need_xlast else []),
+      *weights, *inj_flat, *a_list, y)
 
     dx0 = outs[0][:m]
     dws = tuple(outs[1:1 + n_layers])
@@ -330,7 +350,7 @@ def _fused_branch_bwd(static, res, cots):
 fused_branch.defvjp(_fused_branch_fwd, _fused_branch_bwd)
 
 
-def make_fused_train_decoder(specs: Specs, block: int = 256,
+def make_fused_train_decoder(specs: Specs, block: int = 512,
                              interpret: Optional[bool] = None):
     """decode(decoder_params, inputs, seed, train) -> (sdf_h, sdf_o, logits),
     differentiable wrt decoder_params and inputs, for the training step.
@@ -367,11 +387,13 @@ def make_fused_train_decoder(specs: Specs, block: int = 256,
 
     in_hand, in_obj = branch_in_dims()
 
-    def run_branch(branch_params, prefix, in_dim, out_dim, x, seed, train):
+    def run_branch(branch_params, prefix, in_dim, out_dim, x, seed, train,
+                   need_xlast=False):
         plan = build_branch_plan(branch_params, prefix, in_dim, ns, out_dim,
                                  dtype=jnp.float32)
         static = _plan_statics(n_layers, inject_pattern, dropout_pattern,
-                               keep, block, cdtype, train, interpret)
+                               keep, block, cdtype, train, interpret,
+                               need_xlast)
         x = pad_inputs(x, plan.weights[0].shape[0])
         y, x_last = fused_branch(static, plan.weights, plan.inject_weights,
                                  plan.biases, x, seed)
@@ -388,7 +410,8 @@ def make_fused_train_decoder(specs: Specs, block: int = 256,
         def decode(decoder_params, inputs, seed, train=True):
             trunk = decoder_params["trunk"]
             y, x_last = run_branch(trunk, "lin", ls + pfs, 2, inputs, seed,
-                                   train)
+                                   train,
+                                   need_xlast=specs.classifier_branch)
             logits = (classifier_apply(trunk, x_last)
                       if specs.classifier_branch else None)
             return y[:, 0:1], y[:, 1:2], logits
@@ -398,13 +421,12 @@ def make_fused_train_decoder(specs: Specs, block: int = 256,
     def decode(decoder_params, inputs, seed, train=True):
         xh, xo = separate_decoder_inputs(specs, inputs)
         hand = decoder_params["hand"]
-        y_h, x_last = run_branch(hand, "linh", in_hand, 1, xh, seed, train)
+        need_cls = specs.classifier_branch and "classifier_head" in hand
+        y_h, x_last = run_branch(hand, "linh", in_hand, 1, xh, seed, train,
+                                 need_xlast=need_cls)
         y_o, _ = run_branch(decoder_params["obj"], "lino", in_obj, 1, xo,
                             seed + 1, train)
-        logits = (
-            classifier_apply(hand, x_last)
-            if specs.classifier_branch and "classifier_head" in hand else None
-        )
+        logits = classifier_apply(hand, x_last) if need_cls else None
         return y_h[:, 0:1], y_o[:, 0:1], logits
 
     return decode
