@@ -82,9 +82,13 @@ def main(argv: Optional[list] = None) -> None:
                         help="2 steps on synthetic data; no checkpoints")
     parser.add_argument("--slow_prng", action="store_true",
                         help="use threefry for dropout instead of rbg")
-    parser.add_argument("--fused_decoder", action="store_true",
+    parser.add_argument("--fused_decoder", dest="fused_decoder",
+                        action="store_true", default=None,
                         help="fused Pallas decoder forward+backward with "
-                             "in-kernel dropout (TPU; XLA decoder otherwise)")
+                             "in-kernel dropout (default on TPU)")
+    parser.add_argument("--no_fused_decoder", dest="fused_decoder",
+                        action="store_false",
+                        help="force the XLA decoder path")
     parser.add_argument("--slurm", action="store_true",
                         help="install the SLURM SIGUSR1 requeue handler")
     parser.add_argument("--profile_steps", type=int, default=0,
@@ -144,14 +148,21 @@ def main(argv: Optional[list] = None) -> None:
             start_epoch = saved_epoch + 1
             logger.info("resumed from %s at epoch %d", name, saved_epoch)
 
+    # fused Pallas decoder fwd+bwd: default on TPU (36.7 vs 41.0 ms/step at
+    # bf16, BASELINE.md); opt out with --no_fused_decoder
+    use_fused = args.fused_decoder
+    if use_fused is None:
+        use_fused = jax.default_backend() not in ("cpu",)
     decoder_override = None
-    if args.fused_decoder:
+    if use_fused:
         from alignsdf_tpu.ops.decoder_train_kernel import make_fused_train_decoder
 
         decoder_override = make_fused_train_decoder(specs)
         if decoder_override is None:
             logger.warning("decoder structure unsupported by the fused train "
                            "kernel; using the XLA decoder")
+        else:
+            logger.info("using the fused Pallas train decoder")
     train_step = make_train_step(model, specs, optimizer, decoder_override)
     replicate = NamedSharding(mesh, P())
     step_jit = jax.jit(
