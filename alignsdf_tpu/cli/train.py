@@ -77,6 +77,10 @@ def main(argv: Optional[list] = None) -> None:
     parser.add_argument("--packed", default=None,
                         help="ASDF-pack file (native data path); overrides "
                              "the spec's lmdb/npz backend selection")
+    parser.add_argument("--loader_mode", default="thread",
+                        choices=["thread", "process"],
+                        help="worker mode for the python loader paths (the "
+                             "packed backend's native batch path ignores it)")
     parser.add_argument("--output_root", default="outputs")
     parser.add_argument("--smoke", action="store_true",
                         help="2 steps on synthetic data; no checkpoints")
@@ -203,6 +207,7 @@ def main(argv: Optional[list] = None) -> None:
         shard=jax.process_index(),
         to_batch=lambda stacked: to_train_batch(specs, stacked),
         sharding=batch_shardings(mesh),
+        worker_mode=args.loader_mode,
     )
 
     if args.slurm:

@@ -111,6 +111,9 @@ class Specs:
     penetration_loss_weight: float = 15.0
     contact_loss_weight: float = 0.005
     disable_aug: bool = False
+    # Parsed + encoded into the experiment name for parity; the reference only
+    # opens the inria background LMDB and never samples from it in this
+    # snapshot (reference utils/data.py:97-99 — no consumer in __getitem__).
     background_aug: bool = False
     # Synthetic-occlusion augmentation.  The reference *samples* do_occlusion
     # in get_aug_config but hard-passes False to generate_patch_image in the

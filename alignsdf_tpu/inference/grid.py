@@ -119,6 +119,11 @@ def make_grid_evaluator(
         embed+concat+decode_fn chain when provided.
     """
     total = n ** 3
+    if grid_decode_fn is not None:
+        # the fused path streams no per-point inputs (coords derive from a
+        # scalar base in-kernel), so larger chunks just shrink the lax.map
+        # loop overhead; activation memory stays bounded by the kernel block
+        chunk = min(max(chunk, 1 << 20), total)
 
     def embed(ctx: Dict[str, Any], pts: jax.Array) -> jax.Array:
         if specs.point_feat_size > 3:

@@ -384,7 +384,7 @@ def make_fused_grid_kernel(
     obj_plan: Optional[GridBranchPlan],
     classifier: Optional[Tuple[jax.Array, jax.Array, int]],
     n: int,
-    block: int = 512,
+    block: int = 1024,
     combined: bool = False,
     interpret: bool = False,
 ):
@@ -430,11 +430,16 @@ def make_fused_grid_kernel(
             ops += list(classifier[:2])
         return ops
 
-    def kernel(scal_ref, idx_ref, *op_refs):
+    def kernel(scal_ref, base_ref, *op_refs):
         out_ref = op_refs[-1]
         refs = list(op_refs[:-1])
 
-        p = idx_ref[:]  # (BLK, 1) int32 global linear grid indices
+        # linear grid indices derived in-kernel: the chunk is always a
+        # contiguous ascending range (grid.py evaluates arange(N^3) slabs),
+        # so only its first index rides in as a scalar — no index array is
+        # streamed or layout-converted at all
+        p = (base_ref[0] + pl.program_id(0) * block
+             + jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0))
         voxel = scal_ref[3]
         xf = (p // n_sq % n).astype(jnp.float32) * voxel + scal_ref[0]
         yf = (p // n % n).astype(jnp.float32) * voxel + scal_ref[1]
@@ -457,12 +462,10 @@ def make_fused_grid_kernel(
     def run(idx: jax.Array, origin: jax.Array, voxel: jax.Array):
         m = idx.shape[0]
         m_pad = _round_up(m, block)
-        if m_pad != m:
-            idx = jnp.pad(idx, (0, m_pad - m))
-        idx2 = idx.reshape(m_pad, 1).astype(jnp.int32)
         scal = jnp.concatenate(
             [origin.astype(jnp.float32).reshape(3),
              jnp.asarray(voxel, jnp.float32).reshape(1)])
+        base = idx[0].astype(jnp.int32).reshape(1)  # chunk base index
 
         ops = flatten_ops()
         op_specs = [
@@ -475,15 +478,14 @@ def make_fused_grid_kernel(
             grid=(m_pad // block,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),  # scal (4,)
-                pl.BlockSpec((block, 1), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # base (1,) int32
                 *op_specs,
             ],
             out_specs=pl.BlockSpec((block, 128), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((m_pad, 128), jnp.float32),
             interpret=interpret,
-        )(scal, idx2, *ops)
+        )(scal, base, *ops)
 
         out = out[:m]
         logits = out[:, 2:2 + num_class] if num_class else None
@@ -492,7 +494,7 @@ def make_fused_grid_kernel(
     return run
 
 
-def make_fused_grid_decode_fn(specs: Specs, n: int, block: int = 512,
+def make_fused_grid_decode_fn(specs: Specs, n: int, block: int = 1024,
                               interpret: bool = False, dtype=jnp.float32):
     """grid_decode(ctx, idx, origin, voxel) for inference/grid.py, or None if
     the config can't use the fully fused path.

@@ -129,7 +129,7 @@ def main():
         decode_fn = make_pallas_decode_fn(specs, block=512, dtype=kdtype)
         if "--no-fused" not in sys.argv:
             grid_decode_fn = make_fused_grid_decode_fn(
-                specs, n, block=512, dtype=kdtype)
+                specs, n, block=1024, dtype=kdtype)
     else:
         def decode_fn(ctx, inputs):
             h, o, _ = dec.apply({"params": ctx["params"]}, inputs)

@@ -139,3 +139,25 @@ def test_reconstruction_end_to_end(tmp_path):
     for k in range(3):
         assert os.path.isfile(os.path.join(out_dirs["obj_dir"], f"pipe{k}.json"))
         assert os.path.isfile(os.path.join(out_dirs["pred_mano"], f"pipe{k}.json"))
+
+
+def test_loader_process_mode_matches_thread_mode(synth_root):
+    """Forked-worker loader must deliver the same ordered batches as the
+    thread loader (deterministic per-sample seeds are worker-agnostic)."""
+    base, keys = synth_root
+    specs = small_specs(samples_per_scene=32)
+    ds = SDFDataset(specs, keys, data_root=base)
+
+    def run(mode, workers):
+        loader = DataLoader(ds, batch_size=2, num_workers=workers, shuffle=True,
+                            seed=5, worker_mode=mode,
+                            to_batch=lambda s: to_train_batch(specs, s))
+        loader.set_epoch(2)
+        return list(loader)
+
+    a = run("thread", 2)
+    b = run("process", 2)
+    assert len(a) == len(b) == 3
+    for batch_a, batch_b in zip(a, b):
+        for key in batch_a:
+            np.testing.assert_array_equal(batch_a[key], batch_b[key])
