@@ -55,6 +55,9 @@ def main(argv=None):
     parser.add_argument("--eval_mode", action="store_true")
     parser.add_argument("--pallas", action="store_true",
                         help="use the fused Pallas decoder kernel")
+    parser.add_argument("--lookahead", type=int, default=2,
+                        help="images of device work kept in flight ahead of "
+                             "the host-side meshing/export work")
     parser.add_argument("--data_root", default=None)
     args = parser.parse_args(argv)
 
@@ -111,7 +114,7 @@ def main(argv=None):
 
     run_pipelined(recon, dataset, out_dirs, label_out=args.label_out,
                   viz=args.viz, eval_mode=args.eval_mode, task=args.task,
-                  on_done=log_done)
+                  on_done=log_done, lookahead=args.lookahead)
 
 
 if __name__ == "__main__":

@@ -294,24 +294,36 @@ class Reconstructor:
 def run_pipelined(recon: Reconstructor, samples, out_dirs: Dict[str, str],
                   label_out: bool = False, viz: bool = False,
                   eval_mode: bool = False, task: str = "obman",
-                  on_done: Optional[Callable[[int, Dict[str, Any]], None]] = None
-                  ) -> int:
-    """Reconstruct a sequence with one-image lookahead: image i+1's device
-    work (encode + sharded grid eval) is dispatched before image i's host
-    work (marching cubes, ICP, exports) — JAX's async dispatch overlaps the
-    two.  Returns the number of images processed."""
-    pending, pending_idx = None, -1
+                  on_done: Optional[Callable[[int, Dict[str, Any]], None]] = None,
+                  lookahead: int = 2) -> int:
+    """Reconstruct a sequence with ``lookahead`` images of device work
+    (encode + sharded grid eval) in flight ahead of the host work (marching
+    cubes, ICP, exports) — JAX's async dispatch overlaps them, and a deeper
+    window also hides per-dispatch/fetch round-trips on high-latency links.
+    Each pending image holds two N^3 f32 fields on device (16 MB at 128^3).
+    Returns the number of images processed."""
+    from collections import deque
+
+    window: "deque" = deque()
     count = 0
     n = len(samples)
-    for i in range(n + 1):
-        nxt = recon.submit(samples[i]) if i < n else None
-        if pending is not None:
+    lookahead = max(1, lookahead)
+    for i in range(n):
+        window.append((i, recon.submit(samples[i])))
+        if len(window) > lookahead:
+            idx, pending = window.popleft()
             recon.finalize(pending, out_dirs, label_out=label_out, viz=viz,
                            eval_mode=eval_mode, task=task)
             count += 1
             if on_done is not None:
-                on_done(pending_idx, pending)
-        pending, pending_idx = nxt, i
+                on_done(idx, pending)
+    while window:
+        idx, pending = window.popleft()
+        recon.finalize(pending, out_dirs, label_out=label_out, viz=viz,
+                       eval_mode=eval_mode, task=task)
+        count += 1
+        if on_done is not None:
+            on_done(idx, pending)
     return count
 
 
