@@ -21,7 +21,6 @@ reference's dist_reconstruct.py.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
 
 import jax

@@ -34,15 +34,14 @@ the last layer's input (reference networks/model.py:191-350).
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Dict, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from alignsdf_tpu.config import NetworkSpecs, Specs
+from alignsdf_tpu.config import Specs
 from alignsdf_tpu.ops.decoder_kernel import (
     _round_up,
     build_branch_plan,

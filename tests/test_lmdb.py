@@ -3,7 +3,6 @@ bit-parity with the npz backend, and a full dataset golden test driving the
 reference ``SDFSamples`` (use_lmdb=True) over LMDBs produced by our packer."""
 
 import collections
-import json
 import os
 import sys
 
@@ -12,7 +11,6 @@ import pytest
 
 from alignsdf_tpu.config import Specs
 from alignsdf_tpu.data import make_train_dataset
-from alignsdf_tpu.data.dataset import SDFDataset
 from alignsdf_tpu.data.lmdb_format import LmdbWriter, MiniEnv, MiniLmdb
 from alignsdf_tpu.data.synthetic import write_synthetic_dataset
 

@@ -47,7 +47,6 @@ def main():
         scenes_per_batch=64, network_specs=NetworkSpecs(),
         compute_dtype="bfloat16" if bf16 else "float32",
     )
-    from alignsdf_tpu.models.alignsdf import build_model, full_variables
     from alignsdf_tpu.models.resnet import HeadNet, make_encoder
     from alignsdf_tpu.data.synthetic import synthetic_train_batch
 
