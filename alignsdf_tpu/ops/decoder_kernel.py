@@ -494,8 +494,206 @@ def make_fused_grid_kernel(
     return run
 
 
+def make_fused_grid_kernel_t(
+    hand_plan: GridBranchPlan,
+    obj_plan: Optional[GridBranchPlan],
+    classifier: Optional[Tuple[jax.Array, jax.Array, int]],
+    n: int,
+    block: int = 1024,
+    combined: bool = False,
+    interpret: bool = False,
+):
+    """Lanes-major variant of ``make_fused_grid_kernel``: activations live as
+    (features, points) tiles instead of (points, features).
+
+    Two wins over the points-major layout:
+      * the final layers collapse into one (8, hidden) x (hidden, BLK) matmul
+        whose 8 output rows are [hand, obj, class x C] directly — the padded
+        (BLK, hidden) x (hidden, 128) per-branch matmuls (~11% of the kernel's
+        MXU work) and the iota-mask/lane-roll output assembly disappear;
+      * the output block is a dense (8, BLK) tile = 32 B/point HBM write
+        instead of a (BLK, 128) tile with 2-8 live lanes = 512 B/point, and
+        the downstream row slices are contiguous (no strided column gather).
+
+    Same contract as make_fused_grid_kernel:
+    run(idx (M,) int32, origin (3,), voxel ()) -> (sdf_h (M,1), sdf_o (M,1),
+    logits (M,C)|None).
+    """
+    num_class = classifier[2] if classifier is not None else 0
+    compute_dtype = next(w.dtype for w in hand_plan.mm_weights if w is not None)
+    n_sq = n * n
+    n_hidden_h = len(hand_plan.mm_weights) - 1
+    n_hidden_o = len(obj_plan.mm_weights) - 1 if obj_plan is not None else 0
+
+    def hidden_ops_t(plan):
+        last = len(plan.mm_weights) - 1
+        mm = [None if w is None else w.T for w in plan.mm_weights[:last]]
+        xyz = [None if w is None else w.T for w in plan.xyz_weights[:last]]
+        bias = [b.T for b in plan.biases[:last]]  # (out_pad, 1) f32
+        return mm, xyz, bias
+
+    def final_ops_t(plan, row):
+        """Place the final layer's out_dim rows at ``row`` of an 8-row mat."""
+        w_last = plan.mm_weights[-1]          # (cur_pad, 128), cols < out_dim
+        d = plan.out_dim
+        fin = jnp.zeros((8, w_last.shape[0]), w_last.dtype)
+        fin = fin.at[row:row + d, :].set(w_last[:, :d].T)
+        bias = jnp.zeros((8, 1), jnp.float32)
+        bias = bias.at[row:row + d, 0].set(plan.biases[-1][0, :d])
+        xyz = plan.xyz_weights[-1]
+        fxyz = None
+        if xyz is not None:  # final layer folded xyz (latent_in at last layer)
+            fxyz = jnp.zeros((8, 8), jnp.float32)
+            fxyz = fxyz.at[row:row + d, :3].set(xyz[:3, :d].T)
+        return fin, bias, fxyz
+
+    # flat operand list + static tag map so the kernel can rebind refs
+    ops: List[jax.Array] = []
+    tags: List[Tuple[str, int]] = []
+
+    def add(tag: str, i: int, op: jax.Array):
+        tags.append((tag, i))
+        ops.append(op)
+
+    h_mm, h_xyz, h_bias = hidden_ops_t(hand_plan)
+    for i, w in enumerate(h_mm):
+        if w is not None:
+            add("h_mm", i, w)
+    for i, w in enumerate(h_xyz):
+        if w is not None:
+            add("h_xyz", i, w)
+    for i, b in enumerate(h_bias):
+        add("h_b", i, b)
+    if obj_plan is not None:
+        o_mm, o_xyz, o_bias = hidden_ops_t(obj_plan)
+        for i, w in enumerate(o_mm):
+            if w is not None:
+                add("o_mm", i, w)
+        for i, w in enumerate(o_xyz):
+            if w is not None:
+                add("o_xyz", i, w)
+        for i, b in enumerate(o_bias):
+            add("o_b", i, b)
+
+    fin_h, b_sdf, fxyz_h = final_ops_t(hand_plan, 0)
+    fxyz_o = None
+    if obj_plan is not None:
+        fin_o, b_o, fxyz_o = final_ops_t(obj_plan, 1)
+        b_sdf = b_sdf + b_o
+    add("fin_h", 0, fin_h)
+    add("b_sdf", 0, b_sdf)
+    if obj_plan is not None:
+        add("fin_o", 0, fin_o)
+    if fxyz_h is not None:
+        add("fxyz_h", 0, fxyz_h)
+    if fxyz_o is not None:
+        add("fxyz_o", 0, fxyz_o)
+    if classifier is not None:
+        cw, cb, _ = classifier
+        cls_t = jnp.zeros((8, cw.shape[0]), cw.dtype)
+        cls_t = cls_t.at[2:2 + num_class, :].set(cw[:, :num_class].T)
+        b_cls = jnp.zeros((8, 1), jnp.float32)
+        b_cls = b_cls.at[2:2 + num_class, 0].set(cb[0, :num_class])
+        add("cls", 0, cls_t)
+        add("b_cls", 0, b_cls)
+
+    none_h = [None] * max(n_hidden_h, 1)
+    none_o = [None] * max(n_hidden_o, 1)
+
+    def bind(refs):
+        bound = {
+            "h_mm": list(none_h), "h_xyz": list(none_h), "h_b": list(none_h),
+            "o_mm": list(none_o), "o_xyz": list(none_o), "o_b": list(none_o),
+        }
+        for (tag, i), ref in zip(tags, refs):
+            if tag in bound:
+                bound[tag][i] = ref
+            else:
+                bound[tag] = ref
+        return bound
+
+    def hidden_compute(xf, yf, zf, mm, xyz, bias, n_hidden):
+        """Hidden chain in (features, points) layout; returns the input of the
+        final layer as a (last_hidden_pad, BLK) tile."""
+        x = None
+        for layer in range(n_hidden):
+            acc = bias[layer][:]
+            if mm[layer] is not None:
+                acc = acc + jnp.dot(mm[layer][:], x,
+                                    preferred_element_type=jnp.float32)
+            if xyz[layer] is not None:
+                w = xyz[layer][:]
+                acc = acc + w[:, 0:1] * xf + w[:, 1:2] * yf + w[:, 2:3] * zf
+            x = jnp.maximum(acc, 0.0).astype(compute_dtype)
+        return x
+
+    def kernel(scal_ref, base_ref, *op_refs):
+        out_ref = op_refs[-1]
+        b = bind(op_refs[:-1])
+
+        p = (base_ref[0] + pl.program_id(0) * block
+             + jax.lax.broadcasted_iota(jnp.int32, (1, block), 1))
+        voxel = scal_ref[3]
+        xf = (p // n_sq % n).astype(jnp.float32) * voxel + scal_ref[0]
+        yf = (p // n % n).astype(jnp.float32) * voxel + scal_ref[1]
+        zf = (p % n).astype(jnp.float32) * voxel + scal_ref[2]
+
+        a_h = hidden_compute(xf, yf, zf, b["h_mm"], b["h_xyz"], b["h_b"],
+                             n_hidden_h)
+        acc = jnp.dot(b["fin_h"][:], a_h, preferred_element_type=jnp.float32)
+        acc = acc + b["b_sdf"][:]
+        if obj_plan is not None:
+            a_o = hidden_compute(xf, yf, zf, b["o_mm"], b["o_xyz"], b["o_b"],
+                                 n_hidden_o)
+            acc = acc + jnp.dot(b["fin_o"][:], a_o,
+                                preferred_element_type=jnp.float32)
+        for key in ("fxyz_h", "fxyz_o"):
+            if key in b:
+                w = b[key][:]
+                acc = acc + w[:, 0:1] * xf + w[:, 1:2] * yf + w[:, 2:3] * zf
+        out = jnp.tanh(acc)  # sdf rows; zero rows stay zero through tanh
+        if classifier is not None:
+            out = out + jnp.dot(b["cls"][:], a_h,
+                                preferred_element_type=jnp.float32)
+            out = out + b["b_cls"][:]
+        out_ref[:] = out
+
+    def run(idx: jax.Array, origin: jax.Array, voxel: jax.Array):
+        m = idx.shape[0]
+        m_pad = _round_up(m, block)
+        scal = jnp.concatenate(
+            [origin.astype(jnp.float32).reshape(3),
+             jnp.asarray(voxel, jnp.float32).reshape(1)])
+        base = idx[0].astype(jnp.int32).reshape(1)
+
+        op_specs = [
+            pl.BlockSpec(op.shape, partial(lambda nd, i: (0,) * nd, len(op.shape)),
+                         memory_space=pltpu.VMEM)
+            for op in ops
+        ]
+        out = pl.pallas_call(
+            kernel,
+            grid=(m_pad // block,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # scal (4,)
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # base (1,) int32
+                *op_specs,
+            ],
+            out_specs=pl.BlockSpec((8, block), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((8, m_pad), jnp.float32),
+            interpret=interpret,
+        )(scal, base, *ops)
+
+        logits = out[2:2 + num_class, :m].T if num_class else None
+        return out[0, :m].reshape(m, 1), out[1, :m].reshape(m, 1), logits
+
+    return run
+
+
 def make_fused_grid_decode_fn(specs: Specs, n: int, block: int = 1024,
-                              interpret: bool = False, dtype=jnp.float32):
+                              interpret: bool = False, dtype=jnp.float32,
+                              layout: str = "lanes"):
     """grid_decode(ctx, idx, origin, voxel) for inference/grid.py, or None if
     the config can't use the fully fused path.
 
@@ -505,6 +703,10 @@ def make_fused_grid_decode_fn(specs: Specs, n: int, block: int = 1024,
     kinematic_embedding at 4 points and folded into the plans.  NeRF
     positional encoding (point_feat_size > 3 with nerf style) is nonlinear
     and stays on the generic kernel.
+
+    ``layout`` selects the kernel data layout: "lanes" (default) computes the
+    trunks feature-major (make_fused_grid_kernel_t — compact (8, M) output,
+    final layers as one 8-row matmul); "points" is the point-major original.
     """
     from alignsdf_tpu.ops.embeddings import kinematic_embedding
 
@@ -566,7 +768,9 @@ def make_fused_grid_decode_fn(specs: Specs, n: int, block: int = 1024,
                 if specs.classifier_branch and "classifier_head" in dp["hand"]
                 else None
             )
-        run = make_fused_grid_kernel(
+        make = (make_fused_grid_kernel_t if layout == "lanes"
+                else make_fused_grid_kernel)
+        run = make(
             hand_plan, obj_plan, classifier, n, block=block,
             combined=combined, interpret=interpret)
         return run(idx, origin, voxel)

@@ -40,11 +40,14 @@ def test_separate_kernel_matches_flax(encode_style, pfs):
     np.testing.assert_allclose(np.asarray(k_o), np.asarray(ref_o), atol=1e-5)
 
 
+@pytest.mark.parametrize("layout", ["points", "lanes"])
 @pytest.mark.parametrize("model_type,use_classifier",
-                         [("1encoder2decoder", False), ("1encoder1decoder", True)])
-def test_fused_grid_kernel_matches_generic_path(model_type, use_classifier):
+                         [("1encoder2decoder", False), ("1encoder1decoder", True),
+                          ("1encoder2decoder", True)])
+def test_fused_grid_kernel_matches_generic_path(model_type, use_classifier, layout):
     """The fully fused grid decoder (in-kernel coords + input construction)
-    must reproduce the generic embed->concat->decode path bit-for-bit."""
+    must reproduce the generic embed->concat->decode path bit-for-bit, in both
+    kernel data layouts (points-major and lanes-major)."""
     specs = _specs(model_type, "nerf", 3, use_classifier=use_classifier)
     cls = CombinedDecoder if model_type == "1encoder1decoder" else SeparateDecoder
     dec = cls(specs.latent_size, 3, "nerf", specs.network_specs,
@@ -57,7 +60,8 @@ def test_fused_grid_kernel_matches_generic_path(model_type, use_classifier):
     decode = make_pallas_decode_fn(specs, block=128, interpret=True)
     ev_ref = make_grid_evaluator(decode, specs, n, chunk=n ** 3 // 4,
                                  two_pass=True)
-    gd = make_fused_grid_decode_fn(specs, n, block=128, interpret=True)
+    gd = make_fused_grid_decode_fn(specs, n, block=128, interpret=True,
+                                   layout=layout)
     assert gd is not None
     ev_fused = make_grid_evaluator(decode, specs, n, chunk=n ** 3 // 4,
                                    two_pass=True, grid_decode_fn=gd)
@@ -95,9 +99,10 @@ def _random_rigid(rng, batch, count=None):
     return jnp.asarray(tf)
 
 
+@pytest.mark.parametrize("layout", ["points", "lanes"])
 @pytest.mark.parametrize("encode_style,pfs", [("hand", 6), ("hand", 51),
                                               ("obj", 6), ("both", 9)])
-def test_fused_grid_kernel_kinematic_styles(encode_style, pfs):
+def test_fused_grid_kernel_kinematic_styles(encode_style, pfs, layout):
     """Affine-embedding folding must match the generic kinematic path."""
     specs = _specs("1encoder2decoder", encode_style, pfs)
     dec = SeparateDecoder(specs.latent_size, pfs, encode_style,
@@ -118,7 +123,8 @@ def test_fused_grid_kernel_kinematic_styles(encode_style, pfs):
     decode = make_pallas_decode_fn(specs, block=128, interpret=True)
     ev_ref = make_grid_evaluator(decode, specs, n, chunk=n ** 3 // 4,
                                  two_pass=True)
-    gd = make_fused_grid_decode_fn(specs, n, block=128, interpret=True)
+    gd = make_fused_grid_decode_fn(specs, n, block=128, interpret=True,
+                                   layout=layout)
     assert gd is not None
     ev_fused = make_grid_evaluator(decode, specs, n, chunk=n ** 3 // 4,
                                    two_pass=True, grid_decode_fn=gd)
