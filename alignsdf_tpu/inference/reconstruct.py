@@ -113,7 +113,11 @@ class Reconstructor:
                 and jax.default_backend() not in ("cpu",)):
             from alignsdf_tpu.ops.decoder_kernel import make_fused_grid_decode_fn
 
-            grid_decode_fn = make_fused_grid_decode_fn(specs, cube_dim)
+            # lanes-major kernel; block 2048 measured ~3% over 1024 at 256^3
+            # (4096 is reserved for the dedicated bench — it sits at the
+            # scoped-VMEM edge and classifier configs add an extra matmul)
+            grid_decode_fn = make_fused_grid_decode_fn(specs, cube_dim,
+                                                       block=2048)
 
         self.evaluate_grid = make_grid_evaluator(
             decode_fn, specs, cube_dim, chunk=chunk, mesh=mesh, two_pass=True,
