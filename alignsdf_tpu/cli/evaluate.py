@@ -16,7 +16,7 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description="AlignSDF-TPU evaluation")
     parser.add_argument("-e", dest="experiment_dir", required=True)
     parser.add_argument("-t", dest="task", default="obman",
-                        choices=["obman", "dexycb"])
+                        choices=["obman", "dexycb", "ho3d"])
     parser.add_argument("-s", dest="split_filename", default=None,
                         help="optional key list; default: discover from the "
                              "Eval workspace like the reference")

@@ -44,7 +44,7 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description="AlignSDF-TPU reconstruction")
     parser.add_argument("-e", dest="experiment_dir", required=True)
     parser.add_argument("-t", dest="task", default="obman",
-                        choices=["obman", "dexycb"])
+                        choices=["obman", "dexycb", "ho3d"])
     parser.add_argument("-s", dest="split_filename", default=None)
     parser.add_argument("--checkpoint", default="latest")
     parser.add_argument("--start_point", type=int, default=None)

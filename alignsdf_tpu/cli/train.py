@@ -98,6 +98,16 @@ def main(argv: Optional[list] = None) -> None:
     parser.add_argument("--profile_steps", type=int, default=0,
                         help="capture a jax.profiler device trace of steps "
                              "[10, 10+N) into <exp>/profile (XProf/TensorBoard)")
+    parser.add_argument("--skip_test", action="store_true",
+                        help="skip the post-training test-set reconstruction "
+                             "(reference train.py:653-668 runs it by default)")
+    parser.add_argument("--test_split", default=None,
+                        help="test filename json for the post-training "
+                             "reconstruction (default input/<dataset>.json)")
+    parser.add_argument("--test_data_root", default=None,
+                        help="test-set directory override for the "
+                             "post-training reconstruction")
+    parser.add_argument("--test_cube_dim", type=int, default=128)
     cfg.add_train_args(parser)
     args = parser.parse_args(argv)
 
@@ -261,6 +271,59 @@ def main(argv: Optional[list] = None) -> None:
     ckpt.save_checkpoint(experiment_dir, state, specs.num_epochs, "latest")
     metrics.close()
     logger.info("training complete: %s", experiment_dir)
+
+    if not args.skip_test:
+        run_post_training_test(
+            model, state, specs, experiment_dir, mesh,
+            split_filename=args.test_split,
+            data_root=args.test_data_root,
+            cube_dim=args.test_cube_dim,
+        )
+
+
+def run_post_training_test(model, state, specs, experiment_dir, mesh,
+                           split_filename=None, data_root=None,
+                           cube_dim: int = 128) -> None:
+    """End training by reconstructing the test set, sharding files over hosts
+    (reference train.py:653-668: cube_dim 128, label_out on, eval_mode for
+    obman/dexycb)."""
+    from alignsdf_tpu.data.dataset import ImagesDataset
+    from alignsdf_tpu.inference.reconstruct import (
+        Reconstructor,
+        make_output_dirs,
+        run_pipelined,
+    )
+    from alignsdf_tpu.models.alignsdf import full_variables
+
+    task = specs.dataset
+    split_filename = split_filename or f"input/{task}.json"
+    if not os.path.exists(split_filename):
+        logger.warning(
+            "post-training test skipped: split %s not found "
+            "(pass --test_split or --skip_test)", split_filename)
+        return
+    with open(split_filename) as f:
+        filenames = json.load(f)["filenames"]
+
+    n_proc, proc = jax.process_count(), jax.process_index()
+    division = len(filenames) // n_proc
+    start = proc * division
+    end = start + division if proc != n_proc - 1 else len(filenames)
+    filenames = filenames[start:end]
+    logger.info("post-training test: %d files (host %d/%d), cube %d",
+                len(filenames), proc, n_proc, cube_dim)
+
+    dataset = ImagesDataset(filenames, specs, task, data_root=data_root)
+    out_dirs = make_output_dirs(os.path.join(experiment_dir, f"Eval_{task}"))
+    variables = full_variables(model, state.params, state.batch_stats)
+    mano_faces = np.load(
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "assets",
+                     "closed_fmano.npy"))
+    recon = Reconstructor(model, variables, specs, cube_dim=cube_dim,
+                          mesh=mesh, mano_faces=mano_faces)
+    eval_mode = "obman" in task or "dexycb" in task
+    run_pipelined(recon, dataset, out_dirs, label_out=True,
+                  eval_mode=eval_mode, task=task)
 
 
 if __name__ == "__main__":

@@ -102,6 +102,13 @@ def write_synthetic_dataset(root: str, keys: List[str], dataset: str = "obman",
             "affine_transform": np.eye(4, dtype=np.float32),
             "cam_intr": np.array([[480.0, 0, 128], [0, 480.0, 128], [0, 0, 1]],
                                   np.float32),
+            # ho3d-task meta keys (reference utils/sdf_utils.py:104-106):
+            # ho3d pkls carry the intrinsics as 'camMat' and the root joint
+            # inside 'handJoints3D'.  Written unconditionally so the same
+            # synthetic dataset exercises any task's unpack path.
+            "camMat": np.array([[614.6, 0, 320.0], [0, 614.1, 240.0],
+                                [0, 0, 1]], np.float32),
+            "handJoints3D": joints[0],
         }
         with open(os.path.join(base, "meta", key + ".pkl"), "wb") as f:
             pickle.dump(meta, f)

@@ -716,6 +716,12 @@ def make_fused_grid_decode_fn(specs: Specs, n: int, block: int = 1024,
         return None
     ls, ns = specs.latent_size, specs.network_specs
     combined = specs.model_type == "1encoder1decoder"
+    if layout == "lanes" and specs.classifier_branch and ns.num_class > 6:
+        # The lanes-major output tile has 8 rows: [hand, obj, class x C] — only
+        # 6 class rows fit.  The points-major kernel's (BLK, 128) tile carries
+        # up to 126 classes, so fall back to it rather than tripping an opaque
+        # shape error at trace time.
+        layout = "points"
 
     # per-branch embedding column subsets (separate_decoder_inputs semantics,
     # reference networks/model.py:285-299)

@@ -24,6 +24,9 @@ import traceback
 def main() -> None:
     spool = sys.argv[1] if len(sys.argv) > 1 else "/tmp/tpujobs"
     os.makedirs(spool, exist_ok=True)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo not in sys.path:
+        sys.path.insert(0, repo)
 
     t0 = time.time()
     import jax
@@ -52,6 +55,10 @@ def main() -> None:
         path = os.path.join(spool, job)
         out_path = os.path.join(spool, job[:-3] + ".out")
         print(f"[worker] running {job}", flush=True)
+        # Re-import repo code fresh each job (edits between jobs must land);
+        # jax and the device lease stay warm.
+        for name in [n for n in sys.modules if n.startswith("alignsdf_tpu")]:
+            del sys.modules[name]
         buf = io.StringIO()
         t0 = time.time()
         status = "ok"

@@ -84,6 +84,33 @@ def test_fused_grid_decode_fn_gated_by_config():
         _specs("1encoder2decoder", "both", 9), n=16) is not None
 
 
+def test_lanes_layout_falls_back_for_wide_classifier():
+    """num_class > 6 doesn't fit the lanes-major 8-row output tile; the
+    factory must silently route to the points-major kernel instead of
+    tripping a shape error at trace time."""
+    ns = NetworkSpecs(num_class=8)
+    specs = Specs(model_type="1encoder1decoder", encode_style="nerf",
+                  point_feat_size=3, classifier_branch=True, network_specs=ns)
+    dec = CombinedDecoder(specs.latent_size, 3, "nerf", ns, use_classifier=True)
+    v = dec.init(jax.random.PRNGKey(0), jnp.zeros((8, specs.latent_size + 3)))
+    ctx = {"decoder_params": v["params"],
+           "latent": jax.random.normal(jax.random.PRNGKey(1),
+                                       (1, specs.latent_size))}
+    n = 12
+    decode = make_pallas_decode_fn(specs, block=128, interpret=True)
+    ev_ref = make_grid_evaluator(decode, specs, n, chunk=n ** 3 // 4,
+                                 two_pass=True)
+    gd = make_fused_grid_decode_fn(specs, n, block=128, interpret=True,
+                                   layout="lanes")
+    assert gd is not None
+    ev_fused = make_grid_evaluator(decode, specs, n, chunk=n ** 3 // 4,
+                                   two_pass=True, grid_decode_fn=gd)
+    r0, r1 = ev_ref(ctx), ev_fused(ctx)
+    np.testing.assert_allclose(np.asarray(r0.sdf_hand),
+                               np.asarray(r1.sdf_hand), atol=2e-6)
+    np.testing.assert_array_equal(np.asarray(r0.cls), np.asarray(r1.cls))
+
+
 def _random_rigid(rng, batch, count=None):
     shape = (batch, count) if count else (batch,)
     axis = rng.randn(*shape, 3)

@@ -99,23 +99,34 @@ def test_train_reconstruct_evaluate(tmp_path):
     with open(spec_path, "w") as f:
         json.dump(spec, f)
 
-    # L4: train through the CLI (lmdb backend selected by the spec)
+    # L4: train through the CLI (lmdb backend selected by the spec), ending
+    # with the post-training test reconstruction (reference train.py:653-668)
     from alignsdf_tpu.cli.train import main as train_main
 
+    input_json = tmp_path / "input.json"
+    with open(input_json, "w") as f:
+        json.dump({"filenames": [k + ".jpg" for k in test_keys]}, f)
     out_root = tmp_path / "out"
-    train_main(["-e", str(spec_path), "--output_root", str(out_root)])
+    train_main(["-e", str(spec_path), "--output_root", str(out_root),
+                "--test_split", str(input_json), "--test_data_root", test_base,
+                "--test_cube_dim", "16"])
     exps = os.listdir(out_root)
     assert len(exps) == 1
     exp_dir = os.path.join(out_root, exps[0])
     assert os.path.isdir(os.path.join(exp_dir, "ModelParameters", "latest"))
     assert os.path.isdir(os.path.join(exp_dir, "OptimizerParameters", "latest"))
+    # post-training reconstruction artifacts (cleared before the standalone
+    # reconstruct CLI re-creates them below)
+    import shutil
+
+    for key in test_keys:
+        assert os.path.isfile(os.path.join(
+            exp_dir, "Eval_obman", "pred_mano", key + ".json"))
+    shutil.rmtree(os.path.join(exp_dir, "Eval_obman"))
 
     # L5: reconstruct through the CLI (sharded grid + exports)
     from alignsdf_tpu.cli.reconstruct import main as reconstruct_main
 
-    input_json = tmp_path / "input.json"
-    with open(input_json, "w") as f:
-        json.dump({"filenames": [k + ".jpg" for k in test_keys]}, f)
     reconstruct_main([
         "-e", exp_dir, "-t", "obman", "-s", str(input_json),
         "--cube_dim", "24", "--data_root", test_base,
@@ -134,3 +145,26 @@ def test_train_reconstruct_evaluate(tmp_path):
     assert np.isfinite(summary["chamfer_mean"])
     assert np.isfinite(summary["joint_err_mean"])
     assert os.path.isfile(os.path.join(eval_dir, "chamfer_mano.txt"))
+
+    # HO3D task smoke (reference evaluate.py:20, utils/sdf_utils.py:104-106):
+    # same trained weights, ho3d-style meta (camMat / handJoints3D root)
+    ho3d_base = write_synthetic_dataset(str(data_root), ["h0"], dataset="ho3d",
+                                        n_points=600, image_hw=64, split="test")
+    with open(os.path.join(ho3d_base, "meta", "h0.pkl"), "rb") as f:
+        meta = pickle.load(f)
+    root = np.array([[1, 0, 0], [0, -1, 0], [0, 0, -1]], np.float32) @ \
+        np.asarray(meta["handJoints3D"], np.float32)
+    _octahedron(root).export(os.path.join(ho3d_base, "mesh_hand", "h0.obj"))
+    ho3d_input = tmp_path / "ho3d_input.json"
+    with open(ho3d_input, "w") as f:
+        json.dump({"filenames": ["h0.jpg"]}, f)
+    reconstruct_main([
+        "-e", exp_dir, "-t", "ho3d", "-s", str(ho3d_input),
+        "--cube_dim", "24", "--data_root", ho3d_base,
+    ])
+    ho3d_eval_dir = os.path.join(exp_dir, "Eval_ho3d")
+    assert os.path.isfile(os.path.join(ho3d_eval_dir, "pred_mano", "h0.ply"))
+    summary = evaluate(ho3d_eval_dir, "ho3d", ["h0"], data_root=ho3d_base,
+                       mano=True, workers=1)
+    assert summary["chamfer_count"] == 1 and summary["failure_count"] == 0
+    assert np.isfinite(summary["chamfer_mean"])

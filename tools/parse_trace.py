@@ -53,6 +53,10 @@ def parse(path: str):
 
 
 def main():
+    if len(sys.argv) < 2:
+        print("usage: python tools/parse_trace.py <trace_dir_or_xplane.pb> "
+              "[top_n]", file=sys.stderr)
+        raise SystemExit(2)
     path = sys.argv[1]
     top_n = int(sys.argv[2]) if len(sys.argv) > 2 else 25
     per_op, total_ps = {}, 0
