@@ -55,6 +55,10 @@ def main(argv=None):
     parser.add_argument("--eval_mode", action="store_true")
     parser.add_argument("--pallas", action="store_true",
                         help="use the fused Pallas decoder kernel")
+    parser.add_argument("--bf16", action="store_true",
+                        help="bf16 grid fast path (~13%% faster at 256^3; "
+                             "field deviation vs f32 documented in "
+                             "BASELINE.md)")
     parser.add_argument("--lookahead", type=int, default=2,
                         help="images of device work kept in flight ahead of "
                              "the host-side meshing/export work")
@@ -94,14 +98,18 @@ def main(argv=None):
     output_dir = os.path.join(args.experiment_dir, f"Eval_{args.task}")
     out_dirs = make_output_dirs(output_dir)
 
-    decode_fn = make_pallas_decode_fn(specs) if args.pallas else None
+    import jax.numpy as jnp
+
+    kdtype = jnp.bfloat16 if args.bf16 else None
+    decode_fn = (make_pallas_decode_fn(specs, dtype=kdtype or jnp.float32)
+                 if args.pallas else None)
     mano_faces = np.load(
         os.path.join(os.path.dirname(os.path.dirname(__file__)), "assets",
                      "closed_fmano.npy")
     )
     recon = Reconstructor(
         model, variables, specs, cube_dim=args.cube_dim, mesh=mesh,
-        decode_fn=decode_fn, mano_faces=mano_faces,
+        decode_fn=decode_fn, mano_faces=mano_faces, grid_dtype=kdtype,
     )
 
     t0 = time.time()

@@ -108,6 +108,10 @@ def main(argv: Optional[list] = None) -> None:
                         help="test-set directory override for the "
                              "post-training reconstruction")
     parser.add_argument("--test_cube_dim", type=int, default=128)
+    parser.add_argument("--multistep", type=int, default=1,
+                        help="chain N train steps per device dispatch "
+                             "(lax.scan over a stacked batch; hides host "
+                             "dispatch latency on high-latency links)")
     cfg.add_train_args(parser)
     args = parser.parse_args(argv)
 
@@ -169,14 +173,21 @@ def main(argv: Optional[list] = None) -> None:
         use_fused = jax.default_backend() not in ("cpu",)
     decoder_override = None
     if use_fused:
-        from alignsdf_tpu.ops.decoder_train_kernel import make_fused_train_decoder
+        from alignsdf_tpu.ops.decoder_train_kernel import (
+            make_fused_train_decoder,
+            make_fused_train_decoder_factored,
+        )
 
-        decoder_override = make_fused_train_decoder(specs)
+        decoder_override = (make_fused_train_decoder_factored(specs)
+                            or make_fused_train_decoder(specs))
         if decoder_override is None:
             logger.warning("decoder structure unsupported by the fused train "
                            "kernel; using the XLA decoder")
         else:
-            logger.info("using the fused Pallas train decoder")
+            logger.info("using the fused Pallas train decoder (%s)",
+                        "scene-factored" if getattr(
+                            decoder_override, "factored", False)
+                        else "materialized inputs")
     train_step = make_train_step(model, specs, optimizer, decoder_override)
     replicate = NamedSharding(mesh, P())
     step_jit = jax.jit(
@@ -184,6 +195,17 @@ def main(argv: Optional[list] = None) -> None:
         in_shardings=(replicate, batch_shardings(mesh) | {}, replicate),
         donate_argnums=(0,),
     )
+    multi_jit = None
+    if args.multistep > 1:
+        from alignsdf_tpu.training.train_step import make_multi_step
+
+        stacked = {f: NamedSharding(mesh, P(None, "data"))
+                   for f in batch_shardings(mesh)}
+        multi_jit = jax.jit(
+            make_multi_step(train_step, args.multistep),
+            in_shardings=(replicate, stacked, replicate),
+            donate_argnums=(0,),
+        )
     state = jax.device_put(state, replicate)
 
     if args.smoke:
@@ -230,31 +252,56 @@ def main(argv: Optional[list] = None) -> None:
     profile_at = (10, 10 + args.profile_steps) if args.profile_steps else None
     profiling = False
     log_step = 0
+    def log_losses(epoch, vals):
+        logger.info(
+            "epoch %d step %d: " + " ".join(
+                f"{k}={v * 1000:.3f}e-3" for k, v in sorted(vals.items())
+            ), epoch, log_step,
+        )
+        metrics.log_step(epoch, log_step, vals)
+
     for epoch in range(start_epoch, specs.num_epochs + 1):
         loader.set_epoch(epoch)
         state = state.replace(epoch=jnp.asarray(epoch, jnp.int32))
         start = time.time()
+        step_buf = []
         for i, batch in enumerate(loader):
             if profile_at and jax.process_index() == 0:
                 if log_step == profile_at[0] and not profiling:
                     jax.profiler.start_trace(os.path.join(experiment_dir, "profile"))
                     profiling = True
-                elif log_step == profile_at[1] and profiling:
+                elif log_step >= profile_at[1] and profiling:
                     jax.block_until_ready(state.params)
                     jax.profiler.stop_trace()
                     profiling = False
                     logger.info("profile trace written to %s",
                                 os.path.join(experiment_dir, "profile"))
+            if multi_jit is not None:
+                step_buf.append(batch)
+                if len(step_buf) < args.multistep:
+                    continue
+                batches = jax.tree.map(lambda *xs: jnp.stack(xs), *step_buf)
+                keys = jnp.stack([jax.random.fold_in(rng, log_step + j)
+                                  for j in range(args.multistep)])
+                step_buf = []
+                state, losses_k = multi_jit(state, batches, keys)
+                log_step += args.multistep
+                if jax.process_index() == 0 and (
+                        log_step // specs.log_frequency_step
+                        != (log_step - args.multistep) // specs.log_frequency_step):
+                    vals = {k: float(v[-1])
+                            for k, v in jax.device_get(losses_k).items()}
+                    log_losses(epoch, vals)
+                continue
             state, losses = step_jit(state, batch, jax.random.fold_in(rng, log_step))
             log_step += 1
             if jax.process_index() == 0 and log_step % specs.log_frequency_step == 0:
                 vals = {k: float(v) for k, v in jax.device_get(losses).items()}
-                logger.info(
-                    "epoch %d step %d: " + " ".join(
-                        f"{k}={v * 1000:.3f}e-3" for k, v in sorted(vals.items())
-                    ), epoch, log_step,
-                )
-                metrics.log_step(epoch, log_step, vals)
+                log_losses(epoch, vals)
+        # epoch tail that didn't fill a multistep group runs single-step
+        for batch in step_buf:
+            state, losses = step_jit(state, batch, jax.random.fold_in(rng, log_step))
+            log_step += 1
         metrics.log_epoch(
             epoch, float(learning_rate_for_epoch(specs, jnp.asarray(epoch))),
             time.time() - start,

@@ -84,6 +84,7 @@ class Reconstructor:
         mesh=None,
         decode_fn: Optional[Callable] = None,
         mano_faces: Optional[np.ndarray] = None,
+        grid_dtype=None,
     ):
         self.model = model
         self.variables = variables
@@ -108,16 +109,32 @@ class Reconstructor:
             or (style in ("obj", "both")
                 and specs.mano_branch and specs.object_pose_branch)
         )
-        grid_decode_fn = None
-        if (fusable and not specs.pixel_align
-                and jax.default_backend() not in ("cpu",)):
-            from alignsdf_tpu.ops.decoder_kernel import make_fused_grid_decode_fn
+        import jax.numpy as jnp
 
-            # lanes-major kernel; block 2048 measured ~3% over 1024 at 256^3
-            # (4096 is reserved for the dedicated bench — it sits at the
-            # scoped-VMEM edge and classifier configs add an extra matmul)
-            grid_decode_fn = make_fused_grid_decode_fn(specs, cube_dim,
-                                                       block=2048)
+        kdtype = grid_dtype or jnp.float32
+        grid_decode_fn = None
+        if fusable and jax.default_backend() not in ("cpu",):
+            if specs.pixel_align:
+                # per-point latents: in-kernel bicubic-as-matmul sampling of
+                # the HeadNet map (ops/decoder_kernel.
+                # make_fused_pixel_grid_decode_fn)
+                from alignsdf_tpu.ops.decoder_kernel import (
+                    make_fused_pixel_grid_decode_fn,
+                )
+
+                grid_decode_fn = make_fused_pixel_grid_decode_fn(
+                    specs, cube_dim, block=256, dtype=kdtype)
+            else:
+                from alignsdf_tpu.ops.decoder_kernel import (
+                    make_fused_grid_decode_fn,
+                )
+
+                # lanes-major kernel; block 2048 measured ~3% over 1024 at
+                # 256^3 (4096 is reserved for the dedicated bench — it sits
+                # at the scoped-VMEM edge and classifier configs add an
+                # extra matmul)
+                grid_decode_fn = make_fused_grid_decode_fn(
+                    specs, cube_dim, block=2048, dtype=kdtype)
 
         self.evaluate_grid = make_grid_evaluator(
             decode_fn, specs, cube_dim, chunk=chunk, mesh=mesh, two_pass=True,

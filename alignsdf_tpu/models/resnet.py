@@ -104,6 +104,61 @@ def _conv(features: int, kernel: int, stride: int = 1, padding: int = 0,
     )
 
 
+@jax.custom_vjp
+def _conv_transpose_k4s2p1(x: jax.Array, kernel: jax.Array) -> jax.Array:
+    """ConvTranspose2d(k4,s2,p1) fwd as an input-dilated conv; custom VJP.
+
+    XLA's autodiff of the lhs-dilated form materializes spatially reversed
+    activation tensors and dilated gradient convs in backward (~1.5 ms/step of
+    the HeadNet cost, xplane trace).  The direct derivatives are plain convs:
+
+      y[n, 2h+a-1, 2w+b-1, o] += x[n,h,w,i] * W[a,b,i,o]
+      dx[n,h,w,i]  = sum_{a,b,o} dy[n, 2h+a-1, 2w+b-1, o] * W[a,b,i,o]
+                   = conv(dy, W; stride 2, pad 1) contracting o
+      dW[a,b,i,o]  = sum_{n,h,w} x[n,h,w,i] * dy[n, 2h+a-1, 2w+b-1, o]
+                   = conv(dy, x; rhs_dilation 2, pad 1) contracting n
+    """
+    flipped = kernel[::-1, ::-1]
+    return jax.lax.conv_general_dilated(
+        x, flipped, window_strides=(1, 1), padding=((2, 2), (2, 2)),
+        lhs_dilation=(2, 2), dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def _conv_transpose_fwd(x, kernel):
+    return _conv_transpose_k4s2p1(x, kernel), (x, kernel)
+
+
+def _conv_transpose_bwd(res, dy):
+    x, kernel = res
+    # dx: cross-correlate dy with W (no flip), stride 2, pad 1; rhs spec
+    # "HWOI" contracts dy's o against W's axis-3 and emits W's axis-2 (i)
+    dx = jax.lax.conv_general_dilated(
+        dy, kernel, window_strides=(2, 2), padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWOI", "NHWC"),
+    )
+    # dW: dy as lhs (batch n contracted as features, o preserved as batch),
+    # x as rhs kernel dilated by the stride; f32 accumulation for the param
+    # grad like XLA's own filter-grad convs
+    dw = jax.lax.conv_general_dilated(
+        dy, x, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+        rhs_dilation=(2, 2), dimension_numbers=("CHWN", "IHWO", "HWCN"),
+        preferred_element_type=jnp.float32,
+    )
+    return dx, dw.astype(kernel.dtype)
+
+
+_conv_transpose_k4s2p1.defvjp(_conv_transpose_fwd, _conv_transpose_bwd)
+
+# Module-level defaults (flax bakes dataclass field defaults at class
+# creation, so benches toggle these instead)
+CUSTOM_DECONV_GRAD = True      # TorchConvTranspose.custom_grad
+# MLPerf-style space-to-depth stem: measured NEUTRAL-to-slightly-slower on
+# v5e through the axon relay (31.7 vs 32.1 ms full bf16 step) — XLA's own
+# handling of the 3-channel stem is already good; kept as a tested flag
+STEM_SPACE_TO_DEPTH = False    # StemConv.space_to_depth
+
+
 class TorchConvTranspose(nn.Module):
     """ConvTranspose2d(k=4, s=2, p=1, bias=False) with exact torch semantics,
     implemented as an input-dilated convolution with a flipped kernel.
@@ -118,6 +173,7 @@ class TorchConvTranspose(nn.Module):
     padding: int = 1
     dtype: Any = jnp.float32
     phase_decomposed: bool = False  # k4/s2/p1 only: 4 phase convs, no zeros
+    custom_grad: Optional[bool] = None  # None -> module default below
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -132,6 +188,11 @@ class TorchConvTranspose(nn.Module):
         )
         if self.phase_decomposed and k == 4 and self.stride == 2 and self.padding == 1:
             return self._phase(x.astype(self.dtype), kernel.astype(self.dtype))
+        custom = (CUSTOM_DECONV_GRAD if self.custom_grad is None
+                  else self.custom_grad)
+        if custom and k == 4 and self.stride == 2 and self.padding == 1:
+            return _conv_transpose_k4s2p1(x.astype(self.dtype),
+                                          kernel.astype(self.dtype))
         # transposed conv = conv with lhs_dilation=s, per-side pad k-1-p,
         # spatially flipped kernel
         flipped = kernel[::-1, ::-1].astype(self.dtype)
@@ -167,6 +228,74 @@ class TorchConvTranspose(nn.Module):
         b, h, w, o = rows[0][0].shape
         out = jnp.stack([jnp.stack(r, axis=0) for r in rows], axis=0)
         return out.transpose(2, 3, 0, 4, 1, 5).reshape(b, 2 * h, 2 * w, o)
+
+
+class StemConv(nn.Module):
+    """The ResNet stem conv1 (7x7, stride 2, pad 3, bias-free) computed as an
+    exact space-to-depth rewrite: 4x4 stride-1 conv on the 2x2-space-to-depth
+    input (12 channels).
+
+    Identical math (same products, zero taps where the padded 8x8 kernel has
+    no source), but TPU-friendly: the backward pass needs no stride-2
+    input-dilated conv, and 12 input channels use 4x the MXU lanes of the
+    raw 3-channel image (MLPerf ResNet stem trick).  The parameter keeps the
+    torch shape/name (kernel (7,7,3,64) under conv1/) so checkpoint import is
+    unchanged; set space_to_depth=False for the direct conv.
+    """
+
+    features: int = 64
+    dtype: Any = jnp.float32
+    space_to_depth: Optional[bool] = None  # None -> module default below
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kernel = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal"),
+            (7, 7, 3, self.features),
+        )
+        s2d = (STEM_SPACE_TO_DEPTH if self.space_to_depth is None
+               else self.space_to_depth)
+        if not s2d or x.shape[1] % 2 or x.shape[2] % 2:
+            return jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kernel.astype(self.dtype), (2, 2),
+                ((3, 3), (3, 3)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        b, h, w, c = x.shape
+        x2 = x.reshape(b, h // 2, 2, w // 2, 2, c)
+        x2 = x2.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+        kp = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))  # (8,8,3,F)
+        k2 = kp.reshape(4, 2, 4, 2, 3, self.features)
+        k2 = k2.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 12, self.features)
+        return jax.lax.conv_general_dilated(
+            x2.astype(self.dtype), k2.astype(self.dtype), (1, 1),
+            ((2, 1), (2, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+@jax.custom_vjp
+def _max_pool_3x3s2(x: jax.Array) -> jax.Array:
+    """max_pool 3x3/s2/p1 with the input pinned as the VJP residual.
+
+    XLA's default backward re-derives the pool's source activation from the
+    last conv output (an extra 0.8 ms elementwise pass over (64,128,128,64)
+    at batch 64, xplane trace) before the select-and-scatter; saving x makes
+    the backward exactly one select-and-scatter.  Identical gradient: the
+    backward IS jax's own reduce_window transpose on the saved tensor.
+    """
+    return nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+
+def _max_pool_fwd(x):
+    return _max_pool_3x3s2(x), x
+
+
+def _max_pool_bwd(x, dy):
+    _, pullback = jax.vjp(
+        lambda xx: nn.max_pool(xx, (3, 3), strides=(2, 2),
+                               padding=((1, 1), (1, 1))), x)
+    return pullback(dy)
+
+
+_max_pool_3x3s2.defvjp(_max_pool_fwd, _max_pool_bwd)
 
 
 class BasicBlock(nn.Module):
@@ -261,10 +390,10 @@ class ResNetEncoder(nn.Module):
             block_cls = nn.remat(block_cls, static_argnums=(2,))
         expansion = 1 if self.block == "basic" else 4
 
-        x = _conv(64, 7, 2, 3, name="conv1", dtype=self.dtype)(x)
+        x = StemConv(64, name="conv1", dtype=self.dtype)(x)
         x = TorchBatchNorm(name="bn1")(x, train)
         x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        x = _max_pool_3x3s2(x)
 
         in_features = 64
         for stage, (features, blocks) in enumerate(

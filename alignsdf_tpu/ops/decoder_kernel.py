@@ -784,6 +784,467 @@ def make_fused_grid_decode_fn(specs: Specs, n: int, block: int = 1024,
     return grid_decode
 
 
+# ---------------------------------------------------------------------------
+# Pixel-aligned fused grid kernel (lanes-major).
+#
+# With pixel-aligned latents every grid point carries its OWN latent: the
+# bicubic sample of the 64x64xC HeadNet map at the point's camera projection
+# (reference utils/utils.py:536-558 + utils/mesh.py:47-55).  The latent can't
+# fold into biases, but the gather-free TPU formulation of bicubic sampling is
+# a matmul: the Keys cubic K (A=-0.75) has support (-2, 2), so evaluating
+# K(cx - x_pix) for ALL 64 columns yields exactly the 4 tap weights (zeros
+# elsewhere — and out-of-image taps get zero, matching padding_mode='zeros').
+# The (HW, BLK) separable weight tile  W[cy*64+cx, p] = Ky[cy,p] * Kx[cx,p]
+# never leaves VMEM; one (C, HW+128) x (HW+128, BLK) MXU matmul produces the
+# per-point latent tile, with the out-of-image mean-feature fallback folded
+# in as an extra F column whose W row holds (1 - in_image).
+# ---------------------------------------------------------------------------
+
+
+class PixelGridBranchPlan(NamedTuple):
+    """Lanes-major (pre-transposed) trunk for pixel-aligned grid eval: xyz
+    affine-folded like GridBranchPlan, latent kept as explicit per-layer
+    weights consumed against the in-kernel latent tile."""
+
+    mm_t: Tuple[Optional[jax.Array], ...]   # (out_pad, in_pad) or None (layer 0)
+    xyz_t: Tuple[Optional[jax.Array], ...]  # (out_pad, 8) xyz cols or None
+    lat_t: Tuple[Optional[jax.Array], ...]  # (out_pad, L_pad) or None
+    bias_t: Tuple[jax.Array, ...]           # (out_pad, 1) f32
+    out_dim: int
+
+
+def build_pixel_grid_branch_plan(
+    branch_params: Dict[str, Any],
+    prefix: str,
+    latent_width: int,
+    emb_a: jax.Array,   # (3, n_emb) — branch embedding as affine map of xyz
+    emb_b: jax.Array,   # (n_emb,)
+    specs: NetworkSpecs,
+    out_dim: int,
+    dtype=jnp.float32,
+) -> PixelGridBranchPlan:
+    n_emb = emb_a.shape[1]
+    in_dim = latent_width + n_emb
+    lat_pad = _round_up(latent_width, 128)
+    dims = (in_dim,) + specs.dims + (out_dim,)
+    n_layers = len(dims) - 1
+    emb_a = emb_a.astype(jnp.float32)
+    emb_b = emb_b.astype(jnp.float32).reshape(1, n_emb)
+
+    mm_t: List[Optional[jax.Array]] = []
+    xyz_t: List[Optional[jax.Array]] = []
+    lat_t: List[Optional[jax.Array]] = []
+    bias_t: List[jax.Array] = []
+
+    cur_dim = in_dim
+    for layer in range(n_layers):
+        if layer + 1 in specs.latent_in:
+            layer_out = dims[layer + 1] - dims[0]
+        else:
+            layer_out = dims[layer + 1]
+        w, b = _materialize_linear(branch_params[f"{prefix}{layer}"])
+        w = w.astype(jnp.float32)
+        out_pad = _round_up(layer_out, 128)
+
+        def fold(w_full, b_eff):
+            """[latent, emb(xyz)] @ w_full -> (lat_t, xyz_t, updated bias)."""
+            w_lat, w_emb = w_full[:latent_width], w_full[latent_width:in_dim]
+            b_eff = b_eff.at[:layer_out, 0].add((emb_b @ w_emb)[0])
+            lt = jnp.zeros((out_pad, lat_pad), dtype)
+            lt = lt.at[:layer_out, :latent_width].set(w_lat.T.astype(dtype))
+            xz = jnp.zeros((out_pad, 8), jnp.float32)
+            xz = xz.at[:layer_out, :3].set((emb_a @ w_emb).T)
+            return lt, xz, b_eff
+
+        b_eff = jnp.zeros((out_pad, 1), jnp.float32).at[:layer_out, 0].set(b)
+        if layer == 0:
+            lt, xz, b_eff = fold(w, b_eff)
+            mm_t.append(None)
+            lat_t.append(lt)
+            xyz_t.append(xz)
+        elif layer in specs.latent_in:
+            lt, xz, b_eff = fold(w[cur_dim:cur_dim + in_dim], b_eff)
+            wx = jnp.zeros((out_pad, _round_up(cur_dim, 128)), dtype)
+            mm_t.append(
+                wx.at[:layer_out, :cur_dim].set(w[:cur_dim].T.astype(dtype)))
+            lat_t.append(lt)
+            xyz_t.append(xz)
+        else:
+            wx = jnp.zeros((out_pad, _round_up(cur_dim, 128)), dtype)
+            mm_t.append(wx.at[:layer_out, :cur_dim].set(w.T.astype(dtype)))
+            lat_t.append(None)
+            xyz_t.append(None)
+        bias_t.append(b_eff)
+        cur_dim = layer_out
+
+    return PixelGridBranchPlan(tuple(mm_t), tuple(xyz_t), tuple(lat_t),
+                               tuple(bias_t), out_dim)
+
+
+def _keys_cubic(t: jax.Array) -> jax.Array:
+    """Keys cubic convolution kernel, A=-0.75 (torch bicubic), support (-2,2).
+    Same closed forms as ops.geometry._cubic_weights, evaluated at arbitrary
+    tap distance."""
+    a = -0.75
+    s = jnp.abs(t)
+    near = ((a + 2.0) * s - (a + 3.0)) * s * s + 1.0
+    far = (((s - 5.0) * s + 8.0) * s - 4.0) * a
+    return jnp.where(s <= 1.0, near, jnp.where(s < 2.0, far, 0.0))
+
+
+def make_fused_pixel_grid_kernel_t(
+    hand_plan: Optional[PixelGridBranchPlan],
+    obj_plan: Optional[PixelGridBranchPlan],
+    classifier: Optional[Tuple[jax.Array, jax.Array, int]],
+    feat_ext: jax.Array,    # (L_pad, HW + 128): cols 0..HW-1 map, col HW mean
+    feat_hw: Tuple[int, int],   # (Hf, Wf) of the feature map
+    proj: jax.Array,        # (32,) f32 projection scalars (see _pack below)
+    n: int,
+    block: int = 128,
+    combined: bool = False,
+    interpret: bool = False,
+):
+    """Lanes-major fused grid decoder with in-kernel pixel-aligned latents.
+
+    run(idx (M,), origin (3,), voxel ()) -> (sdf_h, sdf_o, logits) like
+    make_fused_grid_kernel_t.  ``proj`` layout (all f32):
+      [0:9]   A3 row-major — emb3 = A3^T? no: e_j = sum_i c_i * A3[i*3+j]
+      [9:12]  b3
+      [12:21] cam K rows
+      [21:24] root
+      [24]    2 / sdf_scale_factor
+      [25]    (Wf - 1) / image_size
+      [26]    (Hf - 1) / image_size
+      [27]    image_size
+    """
+    num_class = classifier[2] if classifier is not None else 0
+    plans = [p for p in (hand_plan, obj_plan) if p is not None]
+    compute_dtype = next(
+        w.dtype for p in plans for w in p.mm_t if w is not None)
+    n_sq = n * n
+    hf, wf = feat_hw
+    hw = hf * wf
+    n_hidden_h = len(hand_plan.mm_t) - 1 if hand_plan is not None else 0
+    n_hidden_o = len(obj_plan.mm_t) - 1 if obj_plan is not None else 0
+
+    ops: List[jax.Array] = []
+    tags: List[Tuple[str, int]] = []
+
+    def add(tag: str, i: int, op: jax.Array):
+        tags.append((tag, i))
+        ops.append(op)
+
+    def add_plan(plan, pre):
+        last = len(plan.mm_t) - 1
+        for i in range(last):
+            if plan.mm_t[i] is not None:
+                add(f"{pre}_mm", i, plan.mm_t[i])
+            if plan.xyz_t[i] is not None:
+                add(f"{pre}_xyz", i, plan.xyz_t[i])
+            if plan.lat_t[i] is not None:
+                add(f"{pre}_lat", i, plan.lat_t[i])
+            add(f"{pre}_b", i, plan.bias_t[i])
+
+    def final_ops(plan, row):
+        """Final layer packed into 8-row mats at ``row``."""
+        last = len(plan.mm_t) - 1
+        d = plan.out_dim
+        fin = jnp.zeros((8, plan.mm_t[last].shape[1]), plan.mm_t[last].dtype)
+        fin = fin.at[row:row + d].set(plan.mm_t[last][:d])
+        bias = jnp.zeros((8, 1), jnp.float32)
+        bias = bias.at[row:row + d].set(plan.bias_t[last][:d])
+        fxyz = flat = None
+        if plan.xyz_t[last] is not None:
+            fxyz = jnp.zeros((8, 8), jnp.float32)
+            fxyz = fxyz.at[row:row + d].set(plan.xyz_t[last][:d])
+        if plan.lat_t[last] is not None:
+            flat = jnp.zeros((8, plan.lat_t[last].shape[1]),
+                             plan.lat_t[last].dtype)
+            flat = flat.at[row:row + d].set(plan.lat_t[last][:d])
+        return fin, bias, fxyz, flat
+
+    if hand_plan is not None:
+        add_plan(hand_plan, "h")
+        fin_h, b_sdf, fxyz_h, flat_h = final_ops(hand_plan, 0)
+    if obj_plan is not None:
+        add_plan(obj_plan, "o")
+        fin_o, b_o, fxyz_o, flat_o = final_ops(obj_plan, 1)
+        if hand_plan is not None:
+            b_sdf = b_sdf + b_o
+        else:
+            fin_h = None
+            b_sdf = b_o
+    add("fin_h", 0, fin_h) if hand_plan is not None else None
+    add("b_sdf", 0, b_sdf)
+    if obj_plan is not None:
+        add("fin_o", 0, fin_o)
+    for key, val in (("fxyz_h", fxyz_h if hand_plan is not None else None),
+                     ("fxyz_o", fxyz_o if obj_plan is not None else None),
+                     ("flat_h", flat_h if hand_plan is not None else None),
+                     ("flat_o", flat_o if obj_plan is not None else None)):
+        if val is not None:
+            add(key, 0, val)
+    if classifier is not None:
+        cw, cb, _ = classifier
+        cls_t = jnp.zeros((8, cw.shape[0]), cw.dtype)
+        cls_t = cls_t.at[2:2 + num_class].set(cw[:, :num_class].T)
+        b_cls = jnp.zeros((8, 1), jnp.float32)
+        b_cls = b_cls.at[2:2 + num_class, 0].set(cb[0, :num_class])
+        add("cls", 0, cls_t)
+        add("b_cls", 0, b_cls)
+    add("F", 0, feat_ext.astype(compute_dtype)
+        if compute_dtype != jnp.float32 else feat_ext)
+
+    none_h = [None] * max(n_hidden_h, 1)
+    none_o = [None] * max(n_hidden_o, 1)
+
+    def bind(refs):
+        bound = {
+            "h_mm": list(none_h), "h_xyz": list(none_h), "h_b": list(none_h),
+            "h_lat": list(none_h),
+            "o_mm": list(none_o), "o_xyz": list(none_o), "o_b": list(none_o),
+            "o_lat": list(none_o),
+        }
+        for (tag, i), ref in zip(tags, refs):
+            if tag in bound:
+                bound[tag][i] = ref
+            else:
+                bound[tag] = ref
+        return bound
+
+    def hidden_compute(xf, yf, zf, lat, mm, xyz, lw, bias, n_hidden):
+        x = None
+        for layer in range(n_hidden):
+            acc = bias[layer][:]
+            if mm[layer] is not None:
+                acc = acc + jnp.dot(mm[layer][:], x,
+                                    preferred_element_type=jnp.float32)
+            if lw[layer] is not None:
+                acc = acc + jnp.dot(lw[layer][:], lat,
+                                    preferred_element_type=jnp.float32)
+            if xyz[layer] is not None:
+                w = xyz[layer][:]
+                acc = acc + w[:, 0:1] * xf + w[:, 1:2] * yf + w[:, 2:3] * zf
+            x = jnp.maximum(acc, 0.0).astype(compute_dtype)
+        return x
+
+    def kernel(scal_ref, base_ref, *op_refs):
+        out_ref = op_refs[-1]
+        b = bind(op_refs[:-1])
+
+        p = (base_ref[0] + pl.program_id(0) * block
+             + jax.lax.broadcasted_iota(jnp.int32, (1, block), 1))
+        voxel = scal_ref[3]
+        xf = (p // n_sq % n).astype(jnp.float32) * voxel + scal_ref[0]
+        yf = (p // n % n).astype(jnp.float32) * voxel + scal_ref[1]
+        zf = (p % n).astype(jnp.float32) * voxel + scal_ref[2]
+
+        # ---- projection (reference utils/utils.py:536-549)
+        pr = lambda i: scal_ref[4 + i]  # noqa: E731 — proj scalars
+        e = [pr(0 + j) * xf + pr(3 + j) * yf + pr(6 + j) * zf + pr(9 + j)
+             for j in range(3)]
+        s2 = pr(24)
+        xc = e[0] * s2 + pr(21)
+        yc = e[1] * s2 + pr(22)
+        zc = e[2] * s2 + pr(23)
+        xh = pr(12) * xc + pr(13) * yc + pr(14) * zc
+        yh = pr(15) * xc + pr(16) * yc + pr(17) * zc
+        zh = pr(18) * xc + pr(19) * yc + pr(20) * zc
+        inv = 1.0 / zh
+        xi = xh * inv
+        yi = yh * inv
+        imgsz = pr(27)
+        in_img = ((xi >= 0.0) & (xi <= imgsz) & (yi >= 0.0) & (yi <= imgsz)
+                  & (zh != 0.0))
+        mask = in_img.astype(jnp.float32)              # (1, BLK)
+        # NaN/inf-safe pixel coords for the masked-out lanes
+        xp = jnp.where(in_img, xi * pr(25), 0.0)
+        yp = jnp.where(in_img, yi * pr(26), 0.0)
+
+        # ---- separable bicubic weight tile (HW + 128, BLK)
+        # tpu.iota is integer-only; convert for the tap-distance arithmetic
+        cxi = jax.lax.broadcasted_iota(jnp.int32, (wf, block), 0).astype(
+            jnp.float32)
+        cyi = jax.lax.broadcasted_iota(jnp.int32, (hf, block), 0).astype(
+            jnp.float32)
+        kx = _keys_cubic(cxi - xp)                     # (Wf, BLK)
+        ky = _keys_cubic(cyi - yp)                     # (Hf, BLK)
+        wxy = (ky[:, None, :] * kx[None, :, :]).reshape(hw, block)
+        wxy = wxy * mask
+        mrow = jnp.zeros((128, block), jnp.float32)
+        mrow = mrow + jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (128, block), 0) == 0,
+            1.0 - mask, 0.0)
+        wext = jnp.concatenate([wxy, mrow], axis=0).astype(compute_dtype)
+
+        lat = jnp.dot(b["F"][:], wext,
+                      preferred_element_type=jnp.float32)  # (L_pad, BLK)
+        lat = lat.astype(compute_dtype)
+
+        acc = b["b_sdf"][:]
+        a_h = None
+        if hand_plan is not None:
+            a_h = hidden_compute(xf, yf, zf, lat, b["h_mm"], b["h_xyz"],
+                                 b["h_lat"], b["h_b"], n_hidden_h)
+            acc = acc + jnp.dot(b["fin_h"][:], a_h,
+                                preferred_element_type=jnp.float32)
+        if obj_plan is not None:
+            a_o = hidden_compute(xf, yf, zf, lat, b["o_mm"], b["o_xyz"],
+                                 b["o_lat"], b["o_b"], n_hidden_o)
+            acc = acc + jnp.dot(b["fin_o"][:], a_o,
+                                preferred_element_type=jnp.float32)
+        for key in ("fxyz_h", "fxyz_o"):
+            if key in b:
+                w = b[key][:]
+                acc = acc + w[:, 0:1] * xf + w[:, 1:2] * yf + w[:, 2:3] * zf
+        for key in ("flat_h", "flat_o"):
+            if key in b:
+                acc = acc + jnp.dot(b[key][:], lat,
+                                    preferred_element_type=jnp.float32)
+        out = jnp.tanh(acc)
+        if classifier is not None:
+            out = out + jnp.dot(b["cls"][:], a_h,
+                                preferred_element_type=jnp.float32)
+            out = out + b["b_cls"][:]
+        out_ref[:] = out
+
+    def run(idx: jax.Array, origin: jax.Array, voxel: jax.Array):
+        m = idx.shape[0]
+        m_pad = _round_up(m, block)
+        scal = jnp.concatenate(
+            [origin.astype(jnp.float32).reshape(3),
+             jnp.asarray(voxel, jnp.float32).reshape(1),
+             proj.astype(jnp.float32).reshape(-1)])
+        base = idx[0].astype(jnp.int32).reshape(1)
+
+        op_specs = [
+            pl.BlockSpec(op.shape, partial(lambda nd, i: (0,) * nd, len(op.shape)),
+                         memory_space=pltpu.VMEM)
+            for op in ops
+        ]
+        kwargs = {}
+        if not interpret:
+            # resident F (4.3 MB f32) + both trunks + the (HW, BLK) weight
+            # tile overflow the default scoped-VMEM budget; v5e has 128 MB
+            kwargs["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024)
+        out = pl.pallas_call(
+            kernel,
+            grid=(m_pad // block,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                *op_specs,
+            ],
+            out_specs=pl.BlockSpec((8, block), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((8, m_pad), jnp.float32),
+            interpret=interpret,
+            **kwargs,
+        )(scal, base, *ops)
+
+        logits = out[2:2 + num_class, :m].T if num_class else None
+        h_col = out[0, :m].reshape(m, 1)
+        o_col = out[1, :m].reshape(m, 1)
+        return h_col, o_col, logits
+
+    return run
+
+
+def make_fused_pixel_grid_decode_fn(specs: Specs, n: int, block: int = 128,
+                                    interpret: bool = False,
+                                    dtype=jnp.float32):
+    """grid_decode(ctx, idx, origin, voxel) for pixel-aligned configs, or None
+    when ineligible.  ctx must hold the NCHW feature map in ctx['latent'],
+    plus 'cam_intr' and 'pred_root' (inference/reconstruct.py Reconstructor).
+    """
+    from alignsdf_tpu.ops.embeddings import kinematic_embedding
+
+    if not specs.pixel_align:
+        return None
+    style, pfs = specs.encode_style, specs.point_feat_size
+    kinematic = style in ("hand", "obj", "both")
+    if not kinematic and pfs != 3:
+        return None   # NeRF PE is nonlinear in xyz
+    ls, ns = specs.latent_size, specs.network_specs
+    combined = specs.model_type == "1encoder1decoder"
+
+    if combined or style == "nerf":
+        cols_h = cols_o = np.arange(pfs)
+    elif style == "hand":
+        cols_h, cols_o = np.arange(pfs), np.arange(3)
+    elif style == "obj":
+        cols_h, cols_o = np.arange(3), np.arange(pfs)
+    else:
+        cols_h = np.arange(pfs - 3)
+        cols_o = np.array([0, 1, 2, pfs - 3, pfs - 2, pfs - 1])
+
+    def emb_affine(ctx):
+        if not kinematic:
+            return jnp.eye(3), jnp.zeros((3,))
+        probes = jnp.concatenate([jnp.zeros((1, 3)), jnp.eye(3)], axis=0)
+        emb = kinematic_embedding(
+            probes, 4, pfs, specs.sdf_scale_factor, style,
+            rot_center=ctx.get("rot_center"),
+            global_trans=ctx.get("global_trans"),
+            obj_trans=ctx.get("obj_trans"),
+        )
+        return emb[1:4] - emb[0][None], emb[0]
+
+    def grid_decode(ctx, idx, origin, voxel):
+        dp = ctx["decoder_params"]
+        fmap = ctx["latent"]            # (1, C, Hf, Wf) NCHW f32
+        _, c, hf, wf = fmap.shape
+        lat_pad = _round_up(ls, 128)
+        hw = hf * wf
+        flat = fmap.reshape(c, hw)
+        mean = flat.mean(axis=1, keepdims=True)
+        feat_ext = jnp.zeros((lat_pad, hw + 128), jnp.float32)
+        feat_ext = feat_ext.at[:c, :hw].set(flat)
+        feat_ext = feat_ext.at[:c, hw:hw + 1].set(mean)
+
+        a_full, b_full = emb_affine(ctx)
+        cam = ctx["cam_intr"][0, :3, :3].astype(jnp.float32)
+        root = ctx["pred_root"].reshape(3).astype(jnp.float32)
+        proj = jnp.concatenate([
+            a_full[:, :3].reshape(9), b_full[:3].reshape(3),
+            cam.reshape(9), root,
+            jnp.asarray([2.0 / specs.sdf_scale_factor,
+                         (wf - 1) / specs.image_size[0],
+                         (hf - 1) / specs.image_size[0],
+                         float(specs.image_size[0])], jnp.float32),
+        ])
+
+        a_h, b_h = a_full[:, cols_h], b_full[cols_h]
+        if combined:
+            hand_plan = build_pixel_grid_branch_plan(
+                dp["trunk"], "lin", ls, a_h, b_h, ns, 2, dtype)
+            obj_plan = None
+            classifier = (
+                _classifier_pad(dp["trunk"], hand_plan.mm_t[-1].shape[1], ns,
+                                dtype)
+                if specs.classifier_branch else None
+            )
+        else:
+            a_o, b_o = a_full[:, cols_o], b_full[cols_o]
+            hand_plan = build_pixel_grid_branch_plan(
+                dp["hand"], "linh", ls, a_h, b_h, ns, 1, dtype)
+            obj_plan = build_pixel_grid_branch_plan(
+                dp["obj"], "lino", ls, a_o, b_o, ns, 1, dtype)
+            classifier = (
+                _classifier_pad(dp["hand"], hand_plan.mm_t[-1].shape[1], ns,
+                                dtype)
+                if specs.classifier_branch and "classifier_head" in dp["hand"]
+                else None
+            )
+        run = make_fused_pixel_grid_kernel_t(
+            hand_plan, obj_plan, classifier, feat_ext, (hf, wf), proj, n,
+            block=block, combined=combined, interpret=interpret)
+        return run(idx, origin, voxel)
+
+    return grid_decode
+
+
 def pad_inputs(x: jax.Array, in_dim_pad: int) -> jax.Array:
     """Zero-pad the feature axis to the kernel's padded input width."""
     pad = in_dim_pad - x.shape[1]

@@ -119,7 +119,9 @@ def _fwd_kernel(static, seed_ref, x0_ref, *refs):
         if injs[layer] is not None:
             acc = acc + jnp.dot(x0, injs[layer][:],
                                 preferred_element_type=jnp.float32)
-        acc = acc + b_refs[layer][:]
+        # row 0 of the bias ref: (1, h) for plain biases, row 0 of an (8, h)
+        # scene-table block for the scene-factored variant
+        acc = acc + b_refs[layer][0:1, :]
         if layer < n_layers - 1:
             a_refs[layer][:] = acc.astype(a_refs[layer].dtype)  # residual
             x = jnp.maximum(acc, 0.0)
@@ -347,6 +349,436 @@ def _fused_branch_bwd(static, res, cots):
 
 
 fused_branch.defvjp(_fused_branch_fwd, _fused_branch_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Scene-factored variant: the training latent is per-SCENE (batch 64 scenes x
+# 2000 points), so materializing [latent, embed] rows for every point wastes
+# ~20% of the decoder FLOPs (latent @ W recomputed per point) and ~1.5 ms/step
+# of concat/pad/select glue plus a (M, 384) f32 dx write (xplane trace,
+# BASELINE.md).  Here the latent half of every x0-consuming layer is folded
+# OUTSIDE the kernel into per-scene effective biases
+#
+#   beff_l[s] = b_l + latent[s] @ W_l[:latent_size]        (64, 512) tables
+#
+# and the kernel streams only the narrow embedding columns (block, emb_pad),
+# reading its scene's bias row via the BlockSpec index map.  Backward emits
+# per-scene bias-cotangent tables instead of the latent columns of dx; XLA
+# turns those into d_latent / dW_lat with two tiny matmuls.  The forward
+# kernel body is _fwd_kernel unchanged (x0 == emb).
+# ---------------------------------------------------------------------------
+
+
+def _scene_statics(base_static, bps: int, scene_bias: Tuple[bool, ...]):
+    return base_static + (int(bps), tuple(scene_bias))
+
+
+def _vmem_kwargs(interpret):
+    """Raise the scoped-VMEM budget for larger point blocks (v5e: 128 MB
+    physical)."""
+    if interpret:
+        return {}
+    return {"compiler_params": pltpu.CompilerParams(
+        vmem_limit_bytes=100 * 1024 * 1024)}
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def fused_branch_scene(static, weights, injects, biases, emb, seed):
+    """One trunk on (scenes x points-per-scene) input: weights[0] and the
+    inject weights hold only embedding columns; biases[l] is a per-scene
+    (B, out_pad) table for x0-consuming layers, (1, out_pad) otherwise.
+    Returns (y (M, 128) f32, x_last (M, H_pad) f32)."""
+    (y, x_last), _ = _fused_scene_fwd(static, weights, injects, biases, emb,
+                                      seed)
+    return y, x_last
+
+
+def _fused_scene_fwd(static, weights, injects, biases, emb, seed):
+    (n_layers, inject_p, dropout_p, keep, block, cdtype, train, interpret,
+     need_xlast, bps, scene_bias) = static
+    m = emb.shape[0]
+    assert m % block == 0, (m, block)
+    emb_pad = emb.shape[1]
+    h_pads = [w.shape[1] for w in weights]
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+    rdtype = jnp.dtype(cdtype)
+
+    dt = jnp.dtype(cdtype)
+    weights_k = [w.astype(dt) for w in weights]
+    injects_k = [w.astype(dt) if w is not None else None for w in injects]
+    emb = emb.astype(dt)
+    inj_flat = [w for w in injects_k if w is not None]
+    grid = (m // block,)
+
+    def rep_spec(op):
+        return pl.BlockSpec(op.shape,
+                            partial(lambda nd, i: (0,) * nd, len(op.shape)),
+                            memory_space=pltpu.VMEM)
+
+    def bias_spec(layer, b):
+        if scene_bias[layer]:
+            # (B*8, h) table, scene's 8-row band (row 0 valid) per block —
+            # Mosaic requires >= (8, 128) blocks
+            return pl.BlockSpec((8, b.shape[1]), lambda i: (i // bps, 0),
+                                memory_space=pltpu.VMEM)
+        return rep_spec(b)
+
+    base_static = static[:9]
+    out_shapes = [jax.ShapeDtypeStruct((m, h_pads[-1]), jnp.float32)]
+    out_specs = [pl.BlockSpec((block, h_pads[-1]), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)]
+    if need_xlast:
+        out_shapes.append(jax.ShapeDtypeStruct((m, h_pads[-2]), jnp.float32))
+        out_specs.append(pl.BlockSpec((block, h_pads[-2]), lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM))
+    out_shapes += [jax.ShapeDtypeStruct((m, h_pads[i]), rdtype)
+                   for i in range(n_layers - 1)]
+    out_specs += [pl.BlockSpec((block, h_pads[i]), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)
+                  for i in range(n_layers - 1)]
+
+    outs = pl.pallas_call(
+        partial(_fwd_kernel, base_static),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((block, emb_pad), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            *[rep_spec(w) for w in weights_k],
+            *[rep_spec(w) for w in inj_flat],
+            *[bias_spec(layer, b) for layer, b in enumerate(biases)],
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+        **_vmem_kwargs(interpret),
+    )(seed_arr, emb, *weights_k, *inj_flat, *biases)
+
+    if need_xlast:
+        y, x_last, *a_list = outs
+    else:
+        y, *a_list = outs
+        x_last = jnp.zeros((m, h_pads[-2]), jnp.float32)  # DCE'd by XLA
+    res = (weights_k, injects_k, emb, tuple(a_list), y, seed_arr,
+           tuple(b.shape for b in biases))
+    return (y, x_last), res
+
+
+def _bwd_kernel_scene(static, seed_ref, emb_ref, dy_ref, *refs):
+    (n_layers, inject_p, dropout_p, keep, block, cdtype, train, _,
+     need_xlast, bps, scene_bias) = static
+    if need_xlast:
+        dxlast_ref, refs = refs[0], refs[1:]
+    else:
+        dxlast_ref = None
+    dtype = jnp.dtype(cdtype)
+    n_inj = sum(inject_p)
+    w_refs, refs = refs[:n_layers], refs[n_layers:]
+    inj_refs, refs = refs[:n_inj], refs[n_inj:]
+    a_refs, refs = refs[:n_layers - 1], refs[n_layers - 1:]
+    y_ref = refs[0]
+    out_refs = refs[1:]
+    demb_ref = out_refs[0]
+    dw_refs = out_refs[1:1 + n_layers]
+    dinj_refs = out_refs[1 + n_layers:1 + n_layers + n_inj]
+    db_refs = out_refs[1 + n_layers + n_inj:]
+
+    gid = pl.program_id(0)
+    seed = seed_ref[0]
+
+    @pl.when(gid == 0)
+    def _init():
+        for r in list(dw_refs) + list(dinj_refs):
+            r[:] = jnp.zeros_like(r)
+        for layer, r in enumerate(db_refs):
+            if not scene_bias[layer]:
+                r[:] = jnp.zeros_like(r)
+
+    @pl.when(gid % bps == 0)
+    def _init_scene():
+        for layer, r in enumerate(db_refs):
+            if scene_bias[layer]:
+                r[:] = jnp.zeros_like(r)
+
+    inj_it = iter(inj_refs)
+    injs = [next(inj_it) if p else None for p in inject_p]
+    dinj_it = iter(dinj_refs)
+    dinjs = [next(dinj_it) if p else None for p in inject_p]
+
+    x0 = emb_ref[:].astype(dtype)
+    blk = x0.shape[0]
+
+    xs = [x0]
+    gates = []
+    for layer in range(n_layers - 1):
+        a = a_refs[layer][:].astype(jnp.float32)
+        gate = (a > 0.0).astype(jnp.float32)
+        if train and dropout_p[layer]:
+            gate = gate * _dropout_gate(seed, layer, blk, a.shape[1], keep,
+                                        gid)
+        gates.append(gate)
+        xs.append((a * gate).astype(dtype))
+
+    def mm_t_lhs(x, d):
+        return jax.lax.dot_general(x, d.astype(dtype),
+                                   (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    y = y_ref[:]
+    dpre = dy_ref[:] * (1.0 - y * y)
+    demb_acc = jnp.zeros_like(x0, dtype=jnp.float32)
+    row0 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0) == 0
+    for layer in range(n_layers - 1, -1, -1):
+        x_l = xs[layer]
+        dw_refs[layer][:] += mm_t_lhs(x_l, dpre)
+        dsum = jnp.sum(dpre, axis=0, keepdims=True)
+        db_refs[layer][:] += jnp.where(row0, dsum, 0.0)
+        if dinjs[layer] is not None:
+            dinjs[layer][:] += mm_t_lhs(x0, dpre)
+            demb_acc = demb_acc + jax.lax.dot_general(
+                dpre.astype(dtype), injs[layer][:],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        dx = jax.lax.dot_general(
+            dpre.astype(dtype), w_refs[layer][:],
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        if layer == n_layers - 1 and dxlast_ref is not None:
+            dx = dx + dxlast_ref[:]
+        if layer > 0:
+            dpre = dx * gates[layer - 1]
+        else:
+            demb_acc = demb_acc + dx
+    demb_ref[:] = demb_acc
+
+
+def _fused_scene_bwd(static, res, cots):
+    (n_layers, inject_p, dropout_p, keep, block, cdtype, train, interpret,
+     need_xlast, bps, scene_bias) = static
+    weights, injects, emb, a_list, y, seed_arr, bias_shapes = res
+    dy, dx_last = cots
+    m = emb.shape[0]
+    emb_pad = emb.shape[1]
+    inj_flat = [w for w in injects if w is not None]
+    n_inj = len(inj_flat)
+    grid = (m // block,)
+
+    def rep_spec(op):
+        return pl.BlockSpec(op.shape,
+                            partial(lambda nd, i: (0,) * nd, len(op.shape)),
+                            memory_space=pltpu.VMEM)
+
+    def acc_spec(shape):
+        return pl.BlockSpec(shape, partial(lambda nd, i: (0,) * nd, len(shape)),
+                            memory_space=pltpu.VMEM)
+
+    blk_spec = lambda w: pl.BlockSpec((block, w), lambda i: (i, 0),  # noqa: E731
+                                      memory_space=pltpu.VMEM)
+
+    # every bias cotangent accumulates in a row-0-of-8 layout: scene tables
+    # are (B*8, h) with an (8, h) scene-indexed block; plain biases widen to
+    # a global (8, h) accumulator like the generic kernel
+    bias_shapes = tuple(
+        s if scene_bias[layer] else (8, s[1])
+        for layer, s in enumerate(bias_shapes)
+    )
+
+    def db_shape(layer):
+        b, h = bias_shapes[layer]
+        return jax.ShapeDtypeStruct((b, h), jnp.float32)
+
+    def db_spec(layer):
+        b, h = bias_shapes[layer]
+        if scene_bias[layer]:
+            return pl.BlockSpec((8, h), lambda i: (i // bps, 0),
+                                memory_space=pltpu.VMEM)
+        return acc_spec((b, h))
+
+    out_shapes = (
+        [jax.ShapeDtypeStruct((m, emb_pad), jnp.float32)]
+        + [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in weights]
+        + [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in inj_flat]
+        + [db_shape(layer) for layer in range(n_layers)]
+    )
+    out_specs = (
+        [blk_spec(emb_pad)]
+        + [acc_spec(w.shape) for w in weights]
+        + [acc_spec(w.shape) for w in inj_flat]
+        + [db_spec(layer) for layer in range(n_layers)]
+    )
+
+    outs = pl.pallas_call(
+        partial(_bwd_kernel_scene, static),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            blk_spec(emb_pad),
+            blk_spec(dy.shape[1]),
+            *([blk_spec(dx_last.shape[1])] if need_xlast else []),
+            *[rep_spec(w) for w in weights],
+            *[rep_spec(w) for w in inj_flat],
+            *[blk_spec(a.shape[1]) for a in a_list],
+            blk_spec(y.shape[1]),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+        **_vmem_kwargs(interpret),
+    )(seed_arr, emb, dy, *([dx_last] if need_xlast else []),
+      *weights, *inj_flat, *a_list, y)
+
+    demb = outs[0]
+    dws = tuple(outs[1:1 + n_layers])
+    dinj_flat = list(outs[1 + n_layers:1 + n_layers + n_inj])
+    it = iter(dinj_flat)
+    dinjects = tuple(next(it) if p else None for p in inject_p)
+    db_raw = outs[1 + n_layers + n_inj:]
+    # scene tables keep their (B*8, h) shape (rows 1-7 are zero — the unused
+    # pad rows of the input table get zero cotangent); plain biases -> row 0
+    dbs = tuple(o if scene_bias[layer] else o[0:1]
+                for layer, o in enumerate(db_raw))
+    return dws, dinjects, dbs, demb, None
+
+
+fused_branch_scene.defvjp(_fused_scene_fwd, _fused_scene_bwd)
+
+
+def _scene_block(n: int, cap: int = 512) -> Optional[int]:
+    """Largest divisor of the per-scene point count that is a multiple of 16
+    (bf16 sublane) and <= cap; None if no usable block exists."""
+    best = None
+    for b in range(16, cap + 1, 16):
+        if n % b == 0:
+            best = b
+    return best
+
+
+def make_fused_train_decoder_factored(specs: Specs,
+                                      interpret: Optional[bool] = None,
+                                      block_cap: int = 2048):
+    """decode(decoder_params, latent (B, ls), emb (M, pfs), seed, train) ->
+    (sdf_h, sdf_o, logits) via fused_branch_scene, or None when the config
+    needs materialized per-point inputs (pixel_align) or the kernel can't
+    block the per-scene point count.  decode.factored is True so the train
+    step knows to call model.decoder_inputs_factored.
+
+    ``block_cap`` bounds the point block; the largest divisor of
+    samples_per_scene wins (2000 points/scene -> block 2000: one grid step
+    per scene amortizes the VMEM gradient accumulators, measured faster than
+    400 on v5e with the raised scoped-VMEM budget)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    ns = specs.network_specs
+    if (not ns.weight_norm or ns.use_tanh or ns.latent_dropout
+            or ns.xyz_in_all or specs.pixel_align):
+        return None
+    block = _scene_block(specs.samples_per_scene, cap=block_cap)
+    if block is None or block < 128:
+        return None
+    ls, pfs = specs.latent_size, specs.point_feat_size
+    combined = specs.model_type == "1encoder1decoder"
+    style = specs.encode_style
+    keep = 1.0 - ns.dropout_prob
+    n_layers = len(ns.dims) + 1
+    inject_pattern = tuple(layer in ns.latent_in for layer in range(n_layers))
+    dropout_pattern = tuple(bool(ns.dropout) and layer in ns.dropout
+                            for layer in range(n_layers - 1))
+    scene_bias = tuple(layer == 0 or inject_pattern[layer]
+                       for layer in range(n_layers))
+    cdtype = specs.compute_dtype
+
+    import numpy as np
+
+    if combined or style == "nerf":
+        cols_h = cols_o = np.arange(pfs)
+    elif style == "hand":
+        cols_h, cols_o = np.arange(pfs), np.arange(3)
+    elif style == "obj":
+        cols_h, cols_o = np.arange(3), np.arange(pfs)
+    else:  # both
+        cols_h = np.arange(pfs - 3)
+        cols_o = np.array([0, 1, 2, pfs - 3, pfs - 2, pfs - 1])
+
+    dt = jnp.dtype(cdtype)
+
+    def run_branch(branch_params, prefix, cols, out_dim, latent, emb, seed,
+                   train, need_xlast=False):
+        in_dim = ls + len(cols)
+        plan = build_branch_plan(branch_params, prefix, in_dim, ns, out_dim,
+                                 dtype=jnp.float32)
+        emb_pad = _round_up(len(cols), 16)
+        lat_c = latent.astype(dt)
+
+        def split(w):
+            """(in0_pad, h) -> latent rows (ls, h) + padded emb rows."""
+            w_lat, w_emb = w[:ls], w[ls:ls + len(cols)]
+            w_emb = jnp.pad(w_emb, ((0, emb_pad - len(cols)), (0, 0)))
+            return w_lat, w_emb
+
+        def scene_table(beff):
+            """(B, h) per-scene bias -> (B*8, h) row-0-of-8 table (Mosaic
+            blocks must be >= 8 sublanes)."""
+            return jnp.pad(beff[:, None, :], ((0, 0), (0, 7), (0, 0))).reshape(
+                -1, beff.shape[-1])
+
+        w0_lat, w0_emb = split(plan.weights[0])
+        weights_s = [w0_emb] + list(plan.weights[1:])
+        biases_s = list(plan.biases)
+        biases_s[0] = scene_table(plan.biases[0] + jnp.dot(
+            lat_c, w0_lat.astype(dt), preferred_element_type=jnp.float32))
+        injects_s = []
+        for layer, iw in enumerate(plan.inject_weights):
+            if iw is None:
+                injects_s.append(None)
+                continue
+            iw_lat, iw_emb = split(iw)
+            injects_s.append(iw_emb)
+            biases_s[layer] = scene_table(plan.biases[layer] + jnp.dot(
+                lat_c, iw_lat.astype(dt), preferred_element_type=jnp.float32))
+
+        emb_b = emb[:, cols]
+        emb_b = jnp.pad(emb_b, ((0, 0), (0, emb_pad - len(cols))))
+
+        bps = specs.samples_per_scene // block
+        static = _scene_statics(
+            _plan_statics(n_layers, inject_pattern, dropout_pattern, keep,
+                          block, cdtype, train, interpret, need_xlast),
+            bps, scene_bias)
+        y, x_last = fused_branch_scene(static, tuple(weights_s),
+                                       tuple(injects_s), tuple(biases_s),
+                                       emb_b, seed)
+        return y, x_last
+
+    def classifier_apply(branch_params, x_last):
+        from alignsdf_tpu.ops.decoder_kernel import _materialize_linear
+
+        cw, cb = _materialize_linear(branch_params["classifier_head"])
+        logits = x_last[:, :cw.shape[0]] @ cw + cb
+        return logits.astype(jnp.float32)
+
+    if combined:
+        def decode(decoder_params, latent, emb, seed, train=True):
+            trunk = decoder_params["trunk"]
+            y, x_last = run_branch(trunk, "lin", cols_h, 2, latent, emb, seed,
+                                   train, need_xlast=specs.classifier_branch)
+            logits = (classifier_apply(trunk, x_last)
+                      if specs.classifier_branch else None)
+            return y[:, 0:1], y[:, 1:2], logits
+
+        decode.factored = True
+        return decode
+
+    def decode(decoder_params, latent, emb, seed, train=True):
+        hand = decoder_params["hand"]
+        need_cls = specs.classifier_branch and "classifier_head" in hand
+        y_h, x_last = run_branch(hand, "linh", cols_h, 1, latent, emb, seed,
+                                 train, need_xlast=need_cls)
+        y_o, _ = run_branch(decoder_params["obj"], "lino", cols_o, 1, latent,
+                            emb, seed + 1, train)
+        logits = classifier_apply(hand, x_last) if need_cls else None
+        return y_h[:, 0:1], y_o[:, 0:1], logits
+
+    decode.factored = True
+    return decode
 
 
 def make_fused_train_decoder(specs: Specs, block: int = 512,

@@ -87,6 +87,19 @@ def make_train_step(model: AlignSDF, specs: Specs,
                     variables, batch["image"], batch["xyz"], cond,
                     train=True, dropout_rng=rng, mutable=["batch_stats"],
                 )
+            elif getattr(decoder_override, "factored", False):
+                # scene-factored kernel: latent stays (B, ls); it is folded
+                # into per-scene biases inside the decode fn, never broadcast
+                # into per-point rows (ops/decoder_train_kernel)
+                (latent, emb, mano_results, obj_results), mutated = model.apply(
+                    variables, batch["image"], batch["xyz"], cond,
+                    train=True, mutable=["batch_stats"],
+                    method=model.decoder_inputs_factored,
+                )
+                seed = jax.random.randint(rng, (), 0, jnp.iinfo(jnp.int32).max)
+                sdf_hand, sdf_obj, logits = decoder_override(
+                    params["decoder"], latent, emb, seed, train=True)
+                outputs = (sdf_hand, sdf_obj, logits, mano_results, obj_results)
             else:
                 (dec_in, mano_results, obj_results), mutated = model.apply(
                     variables, batch["image"], batch["xyz"], cond,
@@ -119,6 +132,29 @@ def make_train_step(model: AlignSDF, specs: Specs,
         return new_state, losses
 
     return train_step
+
+
+def make_multi_step(train_step, k: int):
+    """Chain ``k`` train steps into ONE jitted call with ``lax.scan`` over a
+    stacked batch (leading axis k) and stacked rng keys.
+
+    One dispatch per k steps keeps host-dispatch latency off the step path —
+    microseconds on a directly-attached host, but ~3 ms/step through this
+    sandbox's TPU relay (BASELINE.md).  Semantically identical to k
+    sequential ``train_step`` calls: same updates, same dropout keys, same
+    final state; per-step losses come back stacked (k,) for logging.
+    """
+
+    def multi(state: TrainState, batches: Dict[str, jax.Array],
+              rngs: jax.Array):
+        def body(st, xs):
+            b, key = xs
+            st, losses = train_step(st, b, key)
+            return st, losses
+
+        return jax.lax.scan(body, state, (batches, rngs))
+
+    return multi
 
 
 def init_train_state(

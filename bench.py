@@ -67,28 +67,64 @@ def bench_train():
     state = init_train_state(model, specs, rng, opt)
     decoder_override = None
     if "--fused-decoder" in sys.argv:
-        from alignsdf_tpu.ops.decoder_train_kernel import make_fused_train_decoder
+        from alignsdf_tpu.ops.decoder_train_kernel import (
+            make_fused_train_decoder,
+            make_fused_train_decoder_factored,
+        )
 
-        decoder_override = make_fused_train_decoder(specs)
+        if "--no-factored" in sys.argv:
+            decoder_override = make_fused_train_decoder(specs)
+        else:
+            decoder_override = (make_fused_train_decoder_factored(specs)
+                                or make_fused_train_decoder(specs))
         assert decoder_override is not None
-    step = jax.jit(make_train_step(model, specs, opt, decoder_override),
-                   donate_argnums=(0,))
+    from alignsdf_tpu.training.train_step import make_multi_step
+
+    ms = 1
+    for a in sys.argv:
+        if a.startswith("--multistep="):
+            ms = int(a.split("=")[1])
     b = specs.scenes_per_batch
     batch = {k: jnp.asarray(v) for k, v in synthetic_train_batch(specs, batch_size=b).items()}
+    # the production loader ships uint8 images normalized on device
+    # (data/loader.py raw_image=True path); feed the bench the same way
+    batch["image"] = jnp.asarray(
+        np.clip(np.asarray(batch["image"]) * 255.0, 0, 255).astype(np.uint8))
     rng = jax.random.key(0, impl="rbg")  # TPU-native dropout stream (cli/train.py)
-    state, losses = step(state, batch, rng)
-    float(losses["total"])
-    # chain K steps with no host fetch in between (the sandbox relay costs
-    # ~100ms per fetch round-trip, which would dominate a per-step timing);
-    # one reduction fetch at the end forces the whole chain
-    k = 10
-    times = []
-    for i in range(3):
-        t0 = time.time()
-        for j in range(k):
-            state, losses = step(state, batch, jax.random.fold_in(rng, i * k + j))
+    train_step = make_train_step(model, specs, opt, decoder_override)
+    if ms > 1:
+        # device-side step chaining (lax.scan over a stacked batch): one
+        # dispatch per ms steps — removes the relay's ~3 ms/step dispatch
+        # latency from the measurement (and from production loops via
+        # cli/train --multistep)
+        step = jax.jit(make_multi_step(train_step, ms), donate_argnums=(0,))
+        batch = jax.tree.map(lambda x: jnp.stack([x] * ms), batch)
+        keys0 = jnp.stack([jax.random.fold_in(rng, j) for j in range(ms)])
+        state, losses = step(state, batch, keys0)
+        float(losses["total"][-1])
+        times = []
+        for i in range(3):
+            t0 = time.time()
+            state, losses = step(state, batch, keys0)
+            float(losses["total"][-1])
+            times.append((time.time() - t0) / ms)
+    else:
+        step = jax.jit(train_step, donate_argnums=(0,))
+        keys = [jax.random.fold_in(rng, j) for j in range(40)]
+        jax.block_until_ready(keys)
+        state, losses = step(state, batch, keys[0])
         float(losses["total"])
-        times.append((time.time() - t0) / k)
+        # chain K steps with no host fetch in between (the sandbox relay
+        # costs ~100ms per fetch round-trip, which would dominate a per-step
+        # timing); one reduction fetch at the end forces the whole chain
+        k = 10
+        times = []
+        for i in range(3):
+            t0 = time.time()
+            for j in range(k):
+                state, losses = step(state, batch, keys[(i * k + j) % 40])
+            float(losses["total"])
+            times.append((time.time() - t0) / k)
     sps = b / min(times)
     # reference anchor: torch DDP on A100 for this model/batch is ~250
     # samples/s/GPU (estimate; repo publishes none — BASELINE.md)

@@ -43,10 +43,13 @@ def main() -> None:
         if os.path.exists(os.path.join(spool, "STOP")):
             print("[worker] stopping", flush=True)
             return
+        now = time.time()
         jobs = sorted(
             f for f in os.listdir(spool)
-            if f.endswith(".py") and not os.path.exists(
-                os.path.join(spool, f + ".done"))
+            if f.endswith(".py")
+            and not os.path.exists(os.path.join(spool, f + ".done"))
+            # settle delay: don't exec a file someone is still writing
+            and now - os.path.getmtime(os.path.join(spool, f)) > 2.0
         )
         if not jobs:
             time.sleep(0.5)

@@ -84,6 +84,65 @@ def test_sharded_grid_matches_dense_eval():
     )
 
 
+def test_fused_kernels_match_xla_on_sharded_mesh():
+    """The production multi-chip configuration: the lanes-major fused grid
+    kernel (and the pixel-align fused kernel) inside a point-sharded 8-device
+    jit must reproduce the XLA decode path's fields."""
+    from alignsdf_tpu.ops.decoder_kernel import (
+        make_fused_grid_decode_fn,
+        make_fused_pixel_grid_decode_fn,
+    )
+
+    specs = _small_specs()
+    dec, variables, decode_fn = _make_decoder(specs)
+    mesh = make_mesh(8)
+    n = 16
+
+    latent = jax.random.normal(jax.random.PRNGKey(1), (1, specs.latent_size))
+    ctx = {"params": variables["params"],
+           "decoder_params": variables["params"], "latent": latent}
+
+    ev_xla = make_grid_evaluator(decode_fn, specs, n, chunk=512, mesh=mesh,
+                                 two_pass=True)
+    gd = make_fused_grid_decode_fn(specs, n, block=128, interpret=True,
+                                   layout="lanes")
+    assert gd is not None
+    ev_fused = make_grid_evaluator(decode_fn, specs, n, chunk=512, mesh=mesh,
+                                   two_pass=True, grid_decode_fn=gd)
+    r0, r1 = ev_xla(ctx), ev_fused(ctx)
+    np.testing.assert_allclose(np.asarray(r0.sdf_hand),
+                               np.asarray(r1.sdf_hand), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(r0.sdf_obj),
+                               np.asarray(r1.sdf_obj), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(r0.origin),
+                               np.asarray(r1.origin), atol=2e-5)
+
+    # pixel-align variant on the same mesh
+    import dataclasses
+
+    px = dataclasses.replace(specs, pixel_align=True, image_size=(64, 64))
+    fmap = jax.random.normal(jax.random.PRNGKey(3),
+                             (1, specs.latent_size, 8, 8)) * 0.3
+    px_ctx = {
+        "params": variables["params"], "decoder_params": variables["params"],
+        "latent": fmap,
+        "cam_intr": jnp.asarray([[[480.0, 0, 32, 0], [0, 480.0, 32, 0],
+                                  [0, 0, 1, 0]]], jnp.float32),
+        "pred_root": jnp.asarray([[[0.01, -0.02, 0.6]]]),
+    }
+    ev_px_xla = make_grid_evaluator(decode_fn, px, n, chunk=512, mesh=mesh,
+                                    two_pass=True)
+    gd_px = make_fused_pixel_grid_decode_fn(px, n, block=128, interpret=True)
+    assert gd_px is not None
+    ev_px = make_grid_evaluator(decode_fn, px, n, chunk=512, mesh=mesh,
+                                two_pass=True, grid_decode_fn=gd_px)
+    r2, r3 = ev_px_xla(px_ctx), ev_px(px_ctx)
+    np.testing.assert_allclose(np.asarray(r2.sdf_hand),
+                               np.asarray(r3.sdf_hand), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(r2.sdf_obj),
+                               np.asarray(r3.sdf_obj), atol=5e-5)
+
+
 def test_refine_cube_matches_reference():
     oracle.setup_reference()
     from utils.mesh import get_higher_res_cube

@@ -197,3 +197,16 @@ def test_pixel_align_grid_matches_reference():
     result = evaluate(ctx)
     np.testing.assert_allclose(np.asarray(result.sdf_hand), ref_h, atol=5e-5)
     np.testing.assert_allclose(np.asarray(result.sdf_obj), ref_o, atol=5e-5)
+
+    # --- fused pixel-align kernel (in-kernel projection + bicubic-as-matmul
+    # latent sampling, ops/decoder_kernel.make_fused_pixel_grid_decode_fn)
+    from alignsdf_tpu.ops.decoder_kernel import make_fused_pixel_grid_decode_fn
+
+    gd = make_fused_pixel_grid_decode_fn(specs, N, block=128, interpret=True)
+    assert gd is not None
+    ev_fused = make_grid_evaluator(decode_fn, specs, N, chunk=N ** 3 // 8,
+                                   mesh=mesh, two_pass=False,
+                                   grid_decode_fn=gd)
+    rf = ev_fused(ctx)
+    np.testing.assert_allclose(np.asarray(rf.sdf_hand), ref_h, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(rf.sdf_obj), ref_o, atol=5e-5)
