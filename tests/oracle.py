@@ -145,6 +145,99 @@ def setup_reference() -> None:
     _initialized = True
 
 
+_mesh_stub_rng = {"gen": None}
+
+
+def reset_mesh_sampling_rng(seed: int = 0) -> None:
+    """Reset the shared sampling stream used by the trimesh.sample stub, so a
+    reference ICP run draws the same samples as alignsdf_tpu's
+    ICPTransScale.sample_mesh (eval/icp.py seeds default_rng(0) and shares
+    one stream across source+target)."""
+    _mesh_stub_rng["gen"] = np.random.default_rng(seed)
+
+
+def install_mesh_stubs() -> None:
+    """Back the trimesh/skimage/sklearn stubs with REAL implementations from
+    alignsdf_tpu (geom.meshlib / geom.marching_cubes / scipy), so the
+    reference's full mesh pipeline (utils/mesh.py:331-398 + reconstruct.py)
+    runs end-to-end on CPU.  Both pipelines then share the same marching
+    cubes / component-split / surface-sampler code, isolating the composition
+    under test (grid fields -> MC -> largest CC -> ICP -> PLY)."""
+    setup_reference()
+    import sys
+
+    import torch
+
+    from alignsdf_tpu.geom.marching_cubes import marching_cubes
+    from alignsdf_tpu.geom import meshlib
+
+    # The reference mesh path was written for old torch where `/` on integer
+    # tensors truncated: `(overall_index.long() / N) % N`
+    # (reference utils/mesh.py:31-32,85-86) yields FRACTIONAL grid indices on
+    # modern torch, shearing its sampling grid by up to a voxel.  Restore the
+    # old semantics so the reference computes its intended grid.
+    if not getattr(torch.Tensor.__truediv__, "_alignsdf_compat", False):
+        _orig_truediv = torch.Tensor.__truediv__
+
+        def _compat_truediv(self, other):
+            if (not torch.is_floating_point(self)
+                    and not torch.is_complex(self)
+                    and isinstance(other, int)):
+                return torch.div(self, other, rounding_mode="floor")
+            return _orig_truediv(self, other)
+
+        _compat_truediv._alignsdf_compat = True
+        torch.Tensor.__truediv__ = _compat_truediv
+
+    # reference ICP uses the np.float alias removed in numpy 1.24
+    if not hasattr(np, "float"):
+        np.float = float  # type: ignore[attr-defined]
+
+    class _RefTrimesh(meshlib.TriMesh):
+        def __init__(self, vertices=None, faces=None, process=False):
+            super().__init__(np.asarray(vertices, np.float64),
+                             np.asarray(faces, np.int64))
+
+    def _mc_lewiner(volume, level=0.0, spacing=(1.0, 1.0, 1.0), **_):
+        verts, faces = marching_cubes(np.asarray(volume), float(level),
+                                      spacing=tuple(spacing))
+        return verts, faces, None, None
+
+    def _graph_split(mesh, only_watertight=True):
+        return meshlib.split_components(mesh)
+
+    def _sample_surface(mesh, count):
+        if _mesh_stub_rng["gen"] is None:
+            reset_mesh_sampling_rng()
+        pts = meshlib.sample_surface(mesh, count, rng=_mesh_stub_rng["gen"])
+        return pts, None
+
+    class _KDTree:
+        def __init__(self, data):
+            from scipy.spatial import cKDTree
+
+            self._t = cKDTree(np.asarray(data))
+
+        def query(self, x, k=1):
+            d, i = self._t.query(np.asarray(x), k=k)
+            return d.reshape(-1, k), i.reshape(-1, k)
+
+    def _load(path, process=False):
+        m = meshlib.load_mesh(path)
+        return _RefTrimesh(m.vertices, m.faces)
+
+    sys.modules["trimesh"].Trimesh = _RefTrimesh
+    sys.modules["trimesh"].load = _load
+    sys.modules["trimesh.graph"].split = _graph_split
+    sys.modules["trimesh"].graph = sys.modules["trimesh.graph"]
+    sys.modules["trimesh.sample"].sample_surface = _sample_surface
+    sys.modules["trimesh"].sample = sys.modules["trimesh.sample"]
+    sys.modules["skimage.measure"].marching_cubes_lewiner = _mc_lewiner
+    sys.modules["skimage"].measure = sys.modules["skimage.measure"]
+    sys.modules["sklearn.neighbors"].KDTree = _KDTree
+    sys.modules["sklearn"].neighbors = sys.modules["sklearn.neighbors"]
+
+
 def reference_mano_layer(ncomps: int = 15, center_idx: int = 0, side: str = "right",
                          flat_hand_mean: bool = False, use_pca: bool = True):
     """Build the reference ManoLayer on CPU (reference manopth/manolayer.py:13)."""
