@@ -275,11 +275,12 @@ class StemConv(nn.Module):
 def _max_pool_3x3s2(x: jax.Array) -> jax.Array:
     """max_pool 3x3/s2/p1 with the input pinned as the VJP residual.
 
-    XLA's default backward re-derives the pool's source activation from the
-    last conv output (an extra 0.8 ms elementwise pass over (64,128,128,64)
-    at batch 64, xplane trace) before the select-and-scatter; saving x makes
-    the backward exactly one select-and-scatter.  Identical gradient: the
-    backward IS jax's own reduce_window transpose on the saved tensor.
+    Identical gradient to plain autodiff (the backward IS jax's own
+    reduce_window transpose on the saved tensor).  Measured alternatives
+    (BASELINE.md): a parity-decomposed compare-and-accumulate backward was
+    ~2 ms SLOWER (stride-2 slices/scatters relayout poorly on TPU), and a
+    Pallas version hits an unsupported Mosaic interleave reshape — XLA's
+    select-and-scatter stays.
     """
     return nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 

@@ -130,7 +130,9 @@ def _fwd_kernel(static, seed_ref, x0_ref, *refs):
                                       keep, gid)
             x = x.astype(dtype)
         else:
-            y_ref[:] = jnp.tanh(acc)
+            # scene variant keeps only 8 live output lanes (out_dim <= 2):
+            # a (M, 8) y tile is 16x less HBM than the padded (M, 128) one
+            y_ref[:] = jnp.tanh(acc[:, : y_ref.shape[1]])
 
 
 def _fused_branch_fwd(static, weights, injects, biases, x0, seed):
@@ -424,8 +426,9 @@ def _fused_scene_fwd(static, weights, injects, biases, emb, seed):
         return rep_spec(b)
 
     base_static = static[:9]
-    out_shapes = [jax.ShapeDtypeStruct((m, h_pads[-1]), jnp.float32)]
-    out_specs = [pl.BlockSpec((block, h_pads[-1]), lambda i: (i, 0),
+    y_w = 8  # live output lanes (out_dim <= 2)
+    out_shapes = [jax.ShapeDtypeStruct((m, y_w), jnp.float32)]
+    out_specs = [pl.BlockSpec((block, y_w), lambda i: (i, 0),
                               memory_space=pltpu.VMEM)]
     if need_xlast:
         out_shapes.append(jax.ShapeDtypeStruct((m, h_pads[-2]), jnp.float32))
@@ -477,7 +480,8 @@ def _bwd_kernel_scene(static, seed_ref, emb_ref, dy_ref, *refs):
     inj_refs, refs = refs[:n_inj], refs[n_inj:]
     a_refs, refs = refs[:n_layers - 1], refs[n_layers - 1:]
     y_ref = refs[0]
-    out_refs = refs[1:]
+    sel_ref = refs[1]   # (8, h_last) lane-embedding eye
+    out_refs = refs[2:]
     demb_ref = out_refs[0]
     dw_refs = out_refs[1:1 + n_layers]
     dinj_refs = out_refs[1 + n_layers:1 + n_layers + n_inj]
@@ -524,8 +528,11 @@ def _bwd_kernel_scene(static, seed_ref, emb_ref, dy_ref, *refs):
                                    (((0,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32)
 
-    y = y_ref[:]
-    dpre = dy_ref[:] * (1.0 - y * y)
+    # y/dy carry only 8 live lanes; embed the 8-wide tanh' product back to
+    # the padded output width with one tiny (BLK, 8) x (8, h) matmul
+    y8 = y_ref[:]
+    dpre8 = dy_ref[:] * (1.0 - y8 * y8)
+    dpre = jnp.dot(dpre8, sel_ref[:], preferred_element_type=jnp.float32)
     demb_acc = jnp.zeros_like(x0, dtype=jnp.float32)
     row0 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0) == 0
     for layer in range(n_layers - 1, -1, -1):
@@ -606,6 +613,10 @@ def _fused_scene_bwd(static, res, cots):
         + [db_spec(layer) for layer in range(n_layers)]
     )
 
+    h_last = weights[-1].shape[1]
+    sel = jnp.zeros((8, h_last), jnp.float32).at[
+        jnp.arange(8), jnp.arange(8)].set(1.0)
+
     outs = pl.pallas_call(
         partial(_bwd_kernel_scene, static),
         grid=grid,
@@ -618,13 +629,14 @@ def _fused_scene_bwd(static, res, cots):
             *[rep_spec(w) for w in inj_flat],
             *[blk_spec(a.shape[1]) for a in a_list],
             blk_spec(y.shape[1]),
+            rep_spec(sel),
         ],
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
         **_vmem_kwargs(interpret),
     )(seed_arr, emb, dy, *([dx_last] if need_xlast else []),
-      *weights, *inj_flat, *a_list, y)
+      *weights, *inj_flat, *a_list, y, sel)
 
     demb = outs[0]
     dws = tuple(outs[1:1 + n_layers])
