@@ -267,7 +267,9 @@ def main(argv: Optional[list] = None) -> None:
         step_buf = []
         for i, batch in enumerate(loader):
             if profile_at and jax.process_index() == 0:
-                if log_step == profile_at[0] and not profiling:
+                # >= not ==: with --multistep, log_step advances in strides
+                if log_step >= profile_at[0] and not profiling \
+                        and log_step < profile_at[1]:
                     jax.profiler.start_trace(os.path.join(experiment_dir, "profile"))
                     profiling = True
                 elif log_step >= profile_at[1] and profiling:

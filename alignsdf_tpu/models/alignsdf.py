@@ -100,27 +100,17 @@ class AlignSDF(nn.Module):
         )
         return sdf_hand, sdf_obj, pred_class, mano_results, obj_results
 
-    def decoder_inputs(
+    def _scene_parts(
         self,
         image: jax.Array,
         xyz: jax.Array,
         cond_input: Dict[str, jax.Array],
-        *,
-        train: bool = False,
+        train: bool,
     ):
-        """Everything up to (but excluding) the SDF decoder: encoder, MANO,
-        object pose, latent gather, point embedding.  Split out so the train
-        step can swap the decoder for the fused Pallas forward+backward kernel
-        (ops/decoder_train_kernel) while this part stays on XLA."""
+        """Shared front half of decoder_inputs / decoder_inputs_factored:
+        encoder, MANO branch, object pose, point embedding.  Returns
+        (sdf_feat, aux_feat, xyz_embed, mano_results, obj_results)."""
         specs = self.specs
-        if not specs.pixel_align:
-            sdf_feat, xyz_embed, mano_results, obj_results = (
-                self.decoder_inputs_factored(image, xyz, cond_input,
-                                             train=train))
-            n = xyz.shape[0] // sdf_feat.shape[0]
-            latent = jnp.repeat(sdf_feat, n, axis=0)
-            decoder_inputs = jnp.concatenate([latent, xyz_embed], axis=1)
-            return decoder_inputs, mano_results, obj_results
         if self._point_encoder:
             # point-cloud backbones condition on the per-scene query cloud
             # itself (Occupancy-Networks-style self-conditioning)
@@ -159,15 +149,6 @@ class AlignSDF(nn.Module):
                 "obj_trans": obj_trans,
             }
 
-        latent = pixel_alignment(
-            aux_feat.transpose(0, 3, 1, 2).astype(jnp.float32),  # NCHW
-            xyz,
-            cond_input["cam_intr"],
-            mano_results["joints"][:, 0:1],
-            specs.image_size[0],
-            specs.sdf_scale_factor,
-        )
-
         if specs.point_feat_size > 3:
             if mano_results is not None and specs.encode_style != "nerf":
                 xyz_embed = kinematic_embedding(
@@ -184,7 +165,35 @@ class AlignSDF(nn.Module):
                 xyz_embed = nerf_embed_for_point_feat(xyz, specs.point_feat_size)
         else:
             xyz_embed = xyz
+        return sdf_feat, aux_feat, xyz_embed, mano_results, obj_results
 
+    def decoder_inputs(
+        self,
+        image: jax.Array,
+        xyz: jax.Array,
+        cond_input: Dict[str, jax.Array],
+        *,
+        train: bool = False,
+    ):
+        """Everything up to (but excluding) the SDF decoder: encoder, MANO,
+        object pose, latent gather, point embedding.  Split out so the train
+        step can swap the decoder for the fused Pallas forward+backward kernel
+        (ops/decoder_train_kernel) while this part stays on XLA."""
+        specs = self.specs
+        sdf_feat, aux_feat, xyz_embed, mano_results, obj_results = (
+            self._scene_parts(image, xyz, cond_input, train))
+        if specs.pixel_align:
+            latent = pixel_alignment(
+                aux_feat.transpose(0, 3, 1, 2).astype(jnp.float32),  # NCHW
+                xyz,
+                cond_input["cam_intr"],
+                mano_results["joints"][:, 0:1],
+                specs.image_size[0],
+                specs.sdf_scale_factor,
+            )
+        else:
+            n = xyz.shape[0] // sdf_feat.shape[0]
+            latent = jnp.repeat(sdf_feat, n, axis=0)
         decoder_inputs = jnp.concatenate([latent, xyz_embed], axis=1)
         return decoder_inputs, mano_results, obj_results
 
@@ -202,62 +211,11 @@ class AlignSDF(nn.Module):
         the scene-factored train kernel (ops/decoder_train_kernel.
         make_fused_train_decoder_factored) folds the latent into per-scene
         biases instead."""
-        specs = self.specs
-        if specs.pixel_align:
+        if self.specs.pixel_align:
             raise ValueError("pixel_align latents are per-point; use "
                              "decoder_inputs")
-        if self._point_encoder:
-            pts = xyz.reshape(image.shape[0], -1, 3)
-            sdf_feat, mano_feat, aux_feat = self.encoder(pts, train=train)
-        else:
-            sdf_feat, mano_feat, aux_feat = self.encoder(
-                normalize_image_on_device(image), train=train)
-
-        mano_results = None
-        if specs.mano_branch:
-            mano_results = self.mano_decoder(mano_feat, cond_input)
-
-        obj_results = None
-        if specs.use_obj_pose and mano_results is not None:
-            heatmaps = self.volume_layer(aux_feat)            # (B, 64, 64, 64) NHWC
-            heatmaps = heatmaps.transpose(0, 3, 1, 2)          # -> NCHW depth-first
-            obj_center_2d = soft_argmax(heatmaps.astype(jnp.float32))
-            obj_trans, obj_center = get_obj_trans(
-                obj_center_2d,
-                mano_results["center3d"],
-                cond_input["cam_intr"],
-                mano_results["obj_rot"] if specs.use_obj_rot else None,
-            )
-            # transform rest-pose corners (reference networks/model.py:391-397)
-            corners = cond_input["rest_obj_corners"]           # (B, 8, 3)
-            obj_corners = (
-                jnp.einsum("bij,bnj->bni", obj_trans[:, :3, :3], corners)
-                + obj_trans[:, None, :3, 3]
-            )
-            if not train:
-                obj_corners = obj_corners + mano_results["center3d"]
-            obj_results = {
-                "obj_center": obj_center,
-                "obj_corners": obj_corners,
-                "obj_trans": obj_trans,
-            }
-
-        if specs.point_feat_size > 3:
-            if mano_results is not None and specs.encode_style != "nerf":
-                xyz_embed = kinematic_embedding(
-                    xyz,
-                    xyz.shape[0] // image.shape[0],
-                    specs.point_feat_size,
-                    specs.sdf_scale_factor,
-                    specs.encode_style,
-                    rot_center=mano_results["rot_center"],
-                    global_trans=mano_results["global_trans"],
-                    obj_trans=obj_results["obj_trans"] if obj_results else None,
-                )
-            else:
-                xyz_embed = nerf_embed_for_point_feat(xyz, specs.point_feat_size)
-        else:
-            xyz_embed = xyz
+        sdf_feat, _, xyz_embed, mano_results, obj_results = (
+            self._scene_parts(image, xyz, cond_input, train))
         return sdf_feat, xyz_embed, mano_results, obj_results
 
     def encode_scene(self, image, cam_intr, mano_root, rest_obj_corners,

@@ -723,17 +723,7 @@ def make_fused_grid_decode_fn(specs: Specs, n: int, block: int = 1024,
         # shape error at trace time.
         layout = "points"
 
-    # per-branch embedding column subsets (separate_decoder_inputs semantics,
-    # reference networks/model.py:285-299)
-    if combined or style == "nerf":
-        cols_h = cols_o = np.arange(pfs)
-    elif style == "hand":
-        cols_h, cols_o = np.arange(pfs), np.array([0, 1, 2])
-    elif style == "obj":
-        cols_h, cols_o = np.array([0, 1, 2]), np.arange(pfs)
-    else:  # both
-        cols_h = np.arange(pfs - 3)
-        cols_o = np.array([0, 1, 2, pfs - 3, pfs - 2, pfs - 1])
+    cols_h, cols_o = branch_columns(specs)
 
     def emb_affine(ctx):
         """The scene's embedding as emb(xyz) = xyz @ A + b, by probing."""
@@ -1168,16 +1158,12 @@ def make_fused_pixel_grid_decode_fn(specs: Specs, n: int, block: int = 128,
         return None   # NeRF PE is nonlinear in xyz
     ls, ns = specs.latent_size, specs.network_specs
     combined = specs.model_type == "1encoder1decoder"
+    if specs.classifier_branch and ns.num_class > 6:
+        # only 6 class rows fit the 8-row output tile; callers fall back to
+        # the chunked XLA pixel path
+        return None
 
-    if combined or style == "nerf":
-        cols_h = cols_o = np.arange(pfs)
-    elif style == "hand":
-        cols_h, cols_o = np.arange(pfs), np.arange(3)
-    elif style == "obj":
-        cols_h, cols_o = np.arange(3), np.arange(pfs)
-    else:
-        cols_h = np.arange(pfs - 3)
-        cols_o = np.array([0, 1, 2, pfs - 3, pfs - 2, pfs - 1])
+    cols_h, cols_o = branch_columns(specs)
 
     def emb_affine(ctx):
         if not kinematic:
@@ -1249,6 +1235,24 @@ def pad_inputs(x: jax.Array, in_dim_pad: int) -> jax.Array:
     """Zero-pad the feature axis to the kernel's padded input width."""
     pad = in_dim_pad - x.shape[1]
     return jnp.pad(x, ((0, 0), (0, pad))) if pad else x
+
+
+def branch_columns(specs: Specs) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-branch embedding column subsets, the column-index form of
+    separate_decoder_inputs (reference networks/model.py:285-299): which
+    columns of the full pfs-wide embedding each trunk consumes."""
+    pfs, style = specs.point_feat_size, specs.encode_style
+    if specs.model_type == "1encoder1decoder" or style == "nerf":
+        cols = np.arange(pfs)
+        return cols, cols
+    if style == "hand":
+        return np.arange(pfs), np.arange(3)
+    if style == "obj":
+        return np.arange(3), np.arange(pfs)
+    if style == "both":
+        return (np.arange(pfs - 3),
+                np.array([0, 1, 2, pfs - 3, pfs - 2, pfs - 1]))
+    raise ValueError(style)
 
 
 def separate_decoder_inputs(specs: Specs, latent_and_embed: jax.Array):

@@ -388,8 +388,9 @@ def _vmem_kwargs(interpret):
 def fused_branch_scene(static, weights, injects, biases, emb, seed):
     """One trunk on (scenes x points-per-scene) input: weights[0] and the
     inject weights hold only embedding columns; biases[l] is a per-scene
-    (B, out_pad) table for x0-consuming layers, (1, out_pad) otherwise.
-    Returns (y (M, 128) f32, x_last (M, H_pad) f32)."""
+    (B*8, out_pad) row-0-of-8 table for x0-consuming layers, (1, out_pad)
+    otherwise.  Returns (y (M, 8) f32 — 8 live output lanes, cols 0..out_dim
+    valid — and x_last (M, H_pad) f32)."""
     (y, x_last), _ = _fused_scene_fwd(static, weights, injects, biases, emb,
                                       seed)
     return y, x_last
@@ -686,9 +687,8 @@ def make_fused_train_decoder_factored(specs: Specs,
     block = _scene_block(specs.samples_per_scene, cap=block_cap)
     if block is None or block < 128:
         return None
-    ls, pfs = specs.latent_size, specs.point_feat_size
+    ls = specs.latent_size
     combined = specs.model_type == "1encoder1decoder"
-    style = specs.encode_style
     keep = 1.0 - ns.dropout_prob
     n_layers = len(ns.dims) + 1
     inject_pattern = tuple(layer in ns.latent_in for layer in range(n_layers))
@@ -698,17 +698,9 @@ def make_fused_train_decoder_factored(specs: Specs,
                        for layer in range(n_layers))
     cdtype = specs.compute_dtype
 
-    import numpy as np
+    from alignsdf_tpu.ops.decoder_kernel import branch_columns
 
-    if combined or style == "nerf":
-        cols_h = cols_o = np.arange(pfs)
-    elif style == "hand":
-        cols_h, cols_o = np.arange(pfs), np.arange(3)
-    elif style == "obj":
-        cols_h, cols_o = np.arange(3), np.arange(pfs)
-    else:  # both
-        cols_h = np.arange(pfs - 3)
-        cols_o = np.array([0, 1, 2, pfs - 3, pfs - 2, pfs - 1])
+    cols_h, cols_o = branch_columns(specs)
 
     dt = jnp.dtype(cdtype)
 

@@ -43,13 +43,20 @@ def main() -> None:
         if os.path.exists(os.path.join(spool, "STOP")):
             print("[worker] stopping", flush=True)
             return
-        now = time.time()
+        def settled(f):
+            # settle delay: don't exec a file someone is still writing;
+            # tolerate the file disappearing between listdir and stat
+            try:
+                return time.time() - os.path.getmtime(
+                    os.path.join(spool, f)) > 2.0
+            except OSError:
+                return False
+
         jobs = sorted(
             f for f in os.listdir(spool)
             if f.endswith(".py")
             and not os.path.exists(os.path.join(spool, f + ".done"))
-            # settle delay: don't exec a file someone is still writing
-            and now - os.path.getmtime(os.path.join(spool, f)) > 2.0
+            and settled(f)
         )
         if not jobs:
             time.sleep(0.5)

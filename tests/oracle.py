@@ -187,6 +187,7 @@ def install_mesh_stubs() -> None:
             return _orig_truediv(self, other)
 
         _compat_truediv._alignsdf_compat = True
+        _compat_truediv._alignsdf_orig = _orig_truediv
         torch.Tensor.__truediv__ = _compat_truediv
 
     # reference ICP uses the np.float alias removed in numpy 1.24
@@ -236,6 +237,18 @@ def install_mesh_stubs() -> None:
     sys.modules["skimage"].measure = sys.modules["skimage.measure"]
     sys.modules["sklearn.neighbors"].KDTree = _KDTree
     sys.modules["sklearn"].neighbors = sys.modules["sklearn.neighbors"]
+
+
+def uninstall_torch_div_compat() -> None:
+    """Restore modern torch integer-division semantics (the mesh tests patch
+    them for the reference's old-torch mesh path; restore afterwards so other
+    tests in the same pytest process are order-independent)."""
+    import torch
+
+    cur = torch.Tensor.__truediv__
+    if getattr(cur, "_alignsdf_compat", False):
+        torch.Tensor.__truediv__ = cur._alignsdf_orig
+
 
 
 def reference_mano_layer(ncomps: int = 15, center_idx: int = 0, side: str = "right",

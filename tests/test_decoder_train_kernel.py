@@ -226,7 +226,11 @@ class TestFactored:
         emb = jnp.asarray(rng.randn(2 * 2000, 9).astype(np.float32) * 0.5)
         x = jnp.concatenate([jnp.repeat(latent, 2000, axis=0), emb], axis=1)
         params = dec.init(jax.random.PRNGKey(0), x)["params"]
-        fac = make_fused_train_decoder_factored(specs, interpret=True)
+        # block_cap 512 -> block 400, bps 5: exercises the per-scene bias
+        # accumulation ACROSS several revisited grid blocks (the default cap
+        # gives block 2000 = one block per scene, bps 1)
+        fac = make_fused_train_decoder_factored(specs, interpret=True,
+                                                block_cap=512)
         assert fac is not None
 
         def loss_fac(lat):

@@ -27,7 +27,8 @@ CUBE = 24
 
 
 @pytest.fixture(scope="module")
-def pipelines(tmp_path_factory):
+def pipelines(tmp_path_factory, request):
+    request.addfinalizer(oracle.uninstall_torch_div_compat)
     from alignsdf_tpu.config import specs_from_dict, specs_to_dict
     from alignsdf_tpu.data.synthetic import write_synthetic_dataset
     from alignsdf_tpu.models.alignsdf import build_model
