@@ -123,6 +123,25 @@ def main():
 
         results["decoder_fused_fwd_bwd_ms"] = timeit(dec_fused, dparams, din) * 1e3
 
+    from alignsdf_tpu.ops.decoder_train_kernel import (
+        make_fused_train_decoder_factored,
+    )
+
+    factored = make_fused_train_decoder_factored(specs, interpret=False)
+    if factored is not None and jax.default_backend() != "cpu":
+        latent = din[:b, : specs.latent_size]
+        emb = din[:, specs.latent_size:]
+
+        @jax.jit
+        def dec_factored(params, lat, e):
+            def loss(p):
+                h, o, _ = factored(p, lat, e, jnp.int32(7), train=True)
+                return jnp.sum(h ** 2) + jnp.sum(o ** 2)
+            return jax.grad(loss)(params)
+
+        results["decoder_factored_fwd_bwd_ms"] = timeit(
+            dec_factored, dparams, latent, emb) * 1e3
+
     for k, v in results.items():
         print(json.dumps({"metric": k, "value": round(v, 2), "unit": "ms",
                           "batch": b, "points": b * n,
