@@ -62,6 +62,43 @@ def _octahedron(center, r=0.05):
     return TriMesh(v, f)
 
 
+def test_train_cli_multistep(tmp_path):
+    """cli/train --multistep wiring: batch grouping, stacked-key dispatch,
+    logging cadence and the odd epoch tail (3 batches/epoch with
+    --multistep 2 leaves one single-step batch per epoch)."""
+    data_root = tmp_path / "data"
+    keys = [f"{i:08d}" for i in range(24)]
+    write_synthetic_dataset(str(data_root), keys, n_points=200, image_hw=64,
+                            split="train")
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import create_lmdb
+
+    create_lmdb.create_lmdbs(os.path.join(str(data_root), "obman", "train"),
+                             "obman", "train", keys)
+    spec = dict(SPEC)
+    spec.update(DataSource=str(data_root), SamplesPerScene=16,
+                ScenesPerBatch=8, NumEpochs=2)  # 3 batches/epoch: odd tail
+    split_path = tmp_path / "split.json"
+    with open(split_path, "w") as f:
+        json.dump({"train": keys}, f)
+    spec_path = tmp_path / "spec.json"
+    with open(spec_path, "w") as f:
+        json.dump(spec, f)
+
+    from alignsdf_tpu.cli.train import main as train_main
+
+    out_root = tmp_path / "out"
+    train_main(["-e", str(spec_path), "--output_root", str(out_root),
+                "--multistep", "2", "--skip_test"])
+    exp_dir = os.path.join(out_root, os.listdir(out_root)[0])
+    assert os.path.isdir(os.path.join(exp_dir, "ModelParameters", "latest"))
+    with open(os.path.join(exp_dir, "metrics.jsonl")) as f:
+        steps = [json.loads(line) for line in f if '"step"' in line]
+    assert steps and all(np.isfinite(s["total"]) for s in steps)
+
+
 def test_train_reconstruct_evaluate(tmp_path):
     data_root = tmp_path / "data"
     keys = [f"{i:08d}" for i in range(16)]
