@@ -16,7 +16,6 @@ Differences from the reference by design:
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
 import logging
 import os

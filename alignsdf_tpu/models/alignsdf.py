@@ -7,7 +7,7 @@ is pure and fully jittable (all branch switches are Python-static config).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import flax.linen as nn
 import jax

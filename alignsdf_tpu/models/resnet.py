@@ -21,8 +21,7 @@ TPU-first notes:
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax

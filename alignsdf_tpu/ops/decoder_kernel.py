@@ -22,9 +22,8 @@ The same structure also serves CombinedDecoder (single trunk, 2 outputs).
 
 from __future__ import annotations
 
-import math
 from functools import partial
-from typing import Any, Dict, List, NamedTuple, Optional, Sequence, Tuple
+from typing import Any, Dict, List, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ AdditionalLossStart boundary).
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

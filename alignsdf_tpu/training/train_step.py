@@ -10,8 +10,7 @@ train.py:398,350,583) without any explicit collectives.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -44,8 +44,6 @@ A100_TORCH_REF_QPS = 3.1e6  # measured-CPU + derived-A100 (module docstring)
 def bench_train():
     """Secondary metric: train samples/s/chip on the full AlignSDF ObMan
     config (batch 64, 2000 pts/scene, 256^2; reference README.md:68-73)."""
-    import dataclasses
-
     from alignsdf_tpu.config import NetworkSpecs as NS, Specs as SP
     from alignsdf_tpu.models.alignsdf import build_model
     from alignsdf_tpu.training.train_state import make_optimizer

@@ -8,7 +8,6 @@ import os
 import pickle
 
 import numpy as np
-import pytest
 
 from alignsdf_tpu.data.synthetic import write_synthetic_dataset
 from alignsdf_tpu.geom.meshlib import TriMesh
