@@ -51,7 +51,7 @@ def run(coordinator: str, num_processes: int, process_id: int, out_path: str,
 
     specs = Specs(
         model_type="1encoder2decoder", encode_style="both", point_feat_size=9,
-        latent_size=32, sdf_scale_factor=7.0186, samples_per_scene=16,
+        latent_size=32, sdf_scale_factor=7.0186, samples_per_scene=128,
         image_size=(64, 64), mano_branch=True, object_pose_branch=True,
         penetration_loss=True, contact_loss=True, additional_loss_start=1,
         network_specs=NetworkSpecs(dims=(64, 64, 64, 64), dropout=(0, 1),
@@ -62,11 +62,22 @@ def run(coordinator: str, num_processes: int, process_id: int, out_path: str,
     optimizer = make_optimizer(specs)
     state = init_train_state(model, specs, jax.random.PRNGKey(0), optimizer)
 
+    # the production decoder path: the scene-factored fused kernel (interpret
+    # mode on CPU), inside the multi-process sharded jit — 128 points/scene
+    # is the smallest blockable count
+    from alignsdf_tpu.ops.decoder_train_kernel import (
+        make_fused_train_decoder_factored,
+    )
+
+    decoder_override = make_fused_train_decoder_factored(specs)
+    assert decoder_override is not None and decoder_override.factored
+
     mesh = make_mesh()
     n_dev = len(jax.devices())
     replicate = NamedSharding(mesh, P())
     shardings = batch_shardings(mesh)
-    step_jit = jax.jit(make_train_step(model, specs, optimizer),
+    step_jit = jax.jit(make_train_step(model, specs, optimizer,
+                                       decoder_override),
                        in_shardings=(replicate, shardings | {}, replicate),
                        out_shardings=(replicate, replicate),
                        donate_argnums=(0,))
