@@ -119,47 +119,69 @@ def _cubic_weights(t: jax.Array) -> tuple[jax.Array, ...]:
     return w_far(s0), w_near(s1), w_near(s2), w_far(s3)
 
 
+def _keys_cubic_all(t: jax.Array) -> jax.Array:
+    """Keys cubic kernel (A=-0.75, torch bicubic) at arbitrary tap distance;
+    support (-2, 2).  Evaluating it for EVERY column index yields exactly the
+    4 classic tap weights (same closed forms as _cubic_weights) with
+    out-of-image taps contributing zero — padding_mode='zeros' for free."""
+    a = -0.75
+    s = jnp.abs(t)
+    near = ((a + 2.0) * s - (a + 3.0)) * s * s + 1.0
+    far = (((s - 5.0) * s + 8.0) * s - 4.0) * a
+    return jnp.where(s <= 1.0, near, jnp.where(s < 2.0, far, 0.0))
+
+
 def grid_sample_bicubic(feat: jax.Array, uv: jax.Array) -> jax.Array:
     """Bicubic sampling of (B, C, H, W) features at (B, N, 2) normalized coords.
 
     Matches ``F.grid_sample(feat, grid, mode='bicubic', align_corners=True,
     padding_mode='zeros')`` as used by the reference (utils/utils.py:550):
     align_corners maps u=-1 -> col 0 and u=+1 -> col W-1; out-of-bounds taps
-    contribute zero.  Gathers 16 taps and combines with Keys A=-0.75 weights —
-    one fused gather/weighted-sum, no data-dependent shapes.
+    contribute zero.
+
+    TPU-first formulation: gathers are slow on TPU, so the sample is computed
+    as a dense matmul — per point, a separable (H*W,) weight row built from
+    the Keys cubic evaluated at every row/column distance (only the 4 taps
+    per axis are nonzero), contracted against the flattened feature map on
+    the MXU.  Chunked over the point axis to bound the weight tensor
+    (~130 MB per chunk).  85 -> ~10 ms on the pixel-align train step at
+    batch 64 x 2000 points (BASELINE.md).
     """
     b, c, h, w = feat.shape
     n = uv.shape[1]
 
     x = (uv[..., 0] + 1.0) * 0.5 * (w - 1)  # (B, N) pixel coords
     y = (uv[..., 1] + 1.0) * 0.5 * (h - 1)
+    # NaN/inf coords (behind-camera projections) must not poison the weights;
+    # callers mask these points out afterwards (pixel_alignment's in_img)
+    x = jnp.where(jnp.isfinite(x), x, -10.0)
+    y = jnp.where(jnp.isfinite(y), y, -10.0)
 
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    tx = x - x0
-    ty = y - y0
+    feat_flat = feat.reshape(b, c, h * w).astype(jnp.float32)
+    cx = jnp.arange(w, dtype=jnp.float32)
+    cy = jnp.arange(h, dtype=jnp.float32)
 
-    wx = jnp.stack(_cubic_weights(tx), axis=-1)  # (B, N, 4)
-    wy = jnp.stack(_cubic_weights(ty), axis=-1)
+    # chunk so the (B, chunk, H*W) weight tensor stays ~128 MB
+    chunk = max(1, (1 << 25) // max(b * h * w, 1))
+    chunk = min(chunk, n)
+    n_pad = -(-n // chunk) * chunk
+    xs = jnp.pad(x, ((0, 0), (0, n_pad - n)))
+    ys = jnp.pad(y, ((0, 0), (0, n_pad - n)))
+    xs = xs.reshape(b, n_pad // chunk, chunk).transpose(1, 0, 2)
+    ys = ys.reshape(b, n_pad // chunk, chunk).transpose(1, 0, 2)
 
-    feat_flat = feat.reshape(b, c, h * w)
+    def one_chunk(args):
+        xc, yc = args                                    # (B, chunk)
+        kx = _keys_cubic_all(cx[None, None, :] - xc[..., None])  # (B, k, W)
+        ky = _keys_cubic_all(cy[None, None, :] - yc[..., None])  # (B, k, H)
+        wxy = (ky[:, :, :, None] * kx[:, :, None, :]).reshape(
+            b, xc.shape[1], h * w)
+        return jnp.einsum("bnq,bcq->bnc", wxy, feat_flat,
+                          preferred_element_type=jnp.float32)
 
-    out = jnp.zeros((b, n, c), feat.dtype)
-    for j in range(4):  # y taps
-        yy = y0.astype(jnp.int32) + (j - 1)
-        valid_y = (yy >= 0) & (yy < h)
-        yyc = jnp.clip(yy, 0, h - 1)
-        for i in range(4):  # x taps
-            xx = x0.astype(jnp.int32) + (i - 1)
-            valid = valid_y & (xx >= 0) & (xx < w)
-            xxc = jnp.clip(xx, 0, w - 1)
-            idx = yyc * w + xxc  # (B, N)
-            tap = jnp.take_along_axis(
-                feat_flat, idx[:, None, :], axis=2
-            )  # (B, C, N)
-            weight = (wy[..., j] * wx[..., i]) * valid.astype(feat.dtype)  # (B, N)
-            out = out + (tap * weight[:, None, :]).transpose(0, 2, 1)
-    return out  # (B, N, C)
+    out = jax.lax.map(one_chunk, (xs, ys))               # (n_chunks, B, k, C)
+    out = out.transpose(1, 0, 2, 3).reshape(b, n_pad, c)[:, :n]
+    return out.astype(feat.dtype)  # (B, N, C)
 
 
 def pixel_alignment(
