@@ -251,13 +251,14 @@ def main(argv: Optional[list] = None) -> None:
     profile_at = (10, 10 + args.profile_steps) if args.profile_steps else None
     profiling = False
     log_step = 0
-    def log_losses(epoch, vals):
+    def log_losses(epoch, vals, step=None):
+        step = log_step if step is None else step
         logger.info(
             "epoch %d step %d: " + " ".join(
                 f"{k}={v * 1000:.3f}e-3" for k, v in sorted(vals.items())
-            ), epoch, log_step,
+            ), epoch, step,
         )
-        metrics.log_step(epoch, log_step, vals)
+        metrics.log_step(epoch, step, vals)
 
     for epoch in range(start_epoch, specs.num_epochs + 1):
         loader.set_epoch(epoch)
@@ -286,13 +287,20 @@ def main(argv: Optional[list] = None) -> None:
                                   for j in range(args.multistep)])
                 step_buf = []
                 state, losses_k = multi_jit(state, batches, keys)
+                group_start = log_step
                 log_step += args.multistep
                 if jax.process_index() == 0 and (
                         log_step // specs.log_frequency_step
-                        != (log_step - args.multistep) // specs.log_frequency_step):
-                    vals = {k: float(v[-1])
-                            for k, v in jax.device_get(losses_k).items()}
-                    log_losses(epoch, vals)
+                        != group_start // specs.log_frequency_step):
+                    # losses come back stacked (k,): emit every group step
+                    # that crosses the logging cadence so the per-step loss
+                    # series matches single-step runs
+                    losses_k = jax.device_get(losses_k)
+                    for j in range(args.multistep):
+                        step_j = group_start + j + 1
+                        if step_j % specs.log_frequency_step == 0:
+                            vals = {k: float(v[j]) for k, v in losses_k.items()}
+                            log_losses(epoch, vals, step=step_j)
                 continue
             state, losses = step_jit(state, batch, jax.random.fold_in(rng, log_step))
             log_step += 1

@@ -887,10 +887,9 @@ def make_fused_pixel_grid_kernel_t(
     classifier: Optional[Tuple[jax.Array, jax.Array, int]],
     feat_ext: jax.Array,    # (L_pad, HW + 128): cols 0..HW-1 map, col HW mean
     feat_hw: Tuple[int, int],   # (Hf, Wf) of the feature map
-    proj: jax.Array,        # (32,) f32 projection scalars (see _pack below)
+    proj: jax.Array,        # (28,) f32 projection scalars (layout below)
     n: int,
     block: int = 128,
-    combined: bool = False,
     interpret: bool = False,
 ):
     """Lanes-major fused grid decoder with in-kernel pixel-aligned latents.
@@ -1224,7 +1223,7 @@ def make_fused_pixel_grid_decode_fn(specs: Specs, n: int, block: int = 128,
             )
         run = make_fused_pixel_grid_kernel_t(
             hand_plan, obj_plan, classifier, feat_ext, (hf, wf), proj, n,
-            block=block, combined=combined, interpret=interpret)
+            block=block, interpret=interpret)
         return run(idx, origin, voxel)
 
     return grid_decode

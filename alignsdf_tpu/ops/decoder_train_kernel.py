@@ -684,6 +684,11 @@ def make_fused_train_decoder_factored(specs: Specs,
     if (not ns.weight_norm or ns.use_tanh or ns.latent_dropout
             or ns.xyz_in_all or specs.pixel_align):
         return None
+    if 0 in ns.latent_in:
+        # the inject loop's scene_table() for layer 0 would overwrite the
+        # layer-0 table that already folded w0_lat, dropping the latent@W0
+        # term; no reference config does this (latent_in=(2,)) — fall back
+        return None
     block = _scene_block(specs.samples_per_scene, cap=block_cap)
     if block is None or block < 128:
         return None

@@ -170,6 +170,11 @@ def grid_sample_bicubic(feat: jax.Array, uv: jax.Array) -> jax.Array:
     xs = xs.reshape(b, n_pad // chunk, chunk).transpose(1, 0, 2)
     ys = ys.reshape(b, n_pad // chunk, chunk).transpose(1, 0, 2)
 
+    # remat: without it the per-chunk (B, chunk, H*W) weight tensors are saved
+    # as scan residuals for the einsum VJP, re-materializing the full
+    # B*N*H*W bound this chunking exists to avoid; recomputing wxy from
+    # (xc, yc) in backward is a handful of VPU ops
+    @jax.checkpoint
     def one_chunk(args):
         xc, yc = args                                    # (B, chunk)
         kx = _keys_cubic_all(cx[None, None, :] - xc[..., None])  # (B, k, W)
