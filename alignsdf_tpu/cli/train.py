@@ -176,17 +176,22 @@ def main(argv: Optional[list] = None) -> None:
             make_fused_train_decoder,
             make_fused_train_decoder_factored,
         )
+        from alignsdf_tpu.ops.decoder_train_pixel import (
+            make_fused_train_decoder_pixel,
+        )
 
-        decoder_override = (make_fused_train_decoder_factored(specs)
+        decoder_override = (make_fused_train_decoder_pixel(specs)
+                            or make_fused_train_decoder_factored(specs)
                             or make_fused_train_decoder(specs))
         if decoder_override is None:
             logger.warning("decoder structure unsupported by the fused train "
                            "kernel; using the XLA decoder")
         else:
-            logger.info("using the fused Pallas train decoder (%s)",
-                        "scene-factored" if getattr(
-                            decoder_override, "factored", False)
-                        else "materialized inputs")
+            kind = ("pixel-aligned" if getattr(decoder_override, "pixel", False)
+                    else "scene-factored" if getattr(
+                        decoder_override, "factored", False)
+                    else "materialized inputs")
+            logger.info("using the fused Pallas train decoder (%s)", kind)
     train_step = make_train_step(model, specs, optimizer, decoder_override)
     replicate = NamedSharding(mesh, P())
     step_jit = jax.jit(

@@ -218,6 +218,25 @@ class AlignSDF(nn.Module):
             self._scene_parts(image, xyz, cond_input, train))
         return sdf_feat, xyz_embed, mano_results, obj_results
 
+    def decoder_inputs_pixel(
+        self,
+        image: jax.Array,
+        xyz: jax.Array,
+        cond_input: Dict[str, jax.Array],
+        *,
+        train: bool = False,
+    ):
+        """Like decoder_inputs for pixel-aligned configs but WITHOUT running
+        the bicubic sampling: returns (aux_feat (B, Hf, Wf, C) NHWC, xyz_embed
+        (M, pfs), mano_results, obj_results).  The fused pixel train kernel
+        (ops/decoder_train_pixel.make_fused_train_decoder_pixel) samples the
+        feature map in-kernel instead of materializing per-point latents."""
+        if not self.specs.pixel_align:
+            raise ValueError("decoder_inputs_pixel is for pixel_align configs")
+        _, aux_feat, xyz_embed, mano_results, obj_results = (
+            self._scene_parts(image, xyz, cond_input, train))
+        return aux_feat, xyz_embed, mano_results, obj_results
+
     def encode_scene(self, image, cam_intr, mano_root, rest_obj_corners,
                      points=None):
         """Image -> (latent, mano_results, obj_results) for grid reconstruction

@@ -1,0 +1,743 @@
+"""Fused Pallas TRAIN decoder for pixel-aligned configs.
+
+Pixel-aligned latents (reference utils/utils.py:536-558 pixel_alignment inside
+the train loop train.py:464-626) are per-POINT: each query point bicubically
+samples a (C, Hf, Wf) HeadNet feature map at its camera projection, with an
+out-of-image fallback to the map's mean feature.  The XLA path materializes
+the (M, C) latents plus (M, C+pfs) decoder inputs in HBM and pays the einsum
+VJP's weight-tensor traffic; this kernel instead computes the latent INSIDE
+the decoder kernel with the bicubic-as-matmul trick proven by the inference
+pixel kernel (ops/decoder_kernel.make_fused_pixel_grid_kernel_t):
+
+  * the Keys cubic's (-2, 2) support means evaluating K(col - x_pix) for ALL
+    Hf/Wf rows/columns yields exactly the 4 tap weights per axis; the
+    separable (HW+128, BLK) weight tile (last 128 rows carry the mean-feature
+    fallback) never leaves VMEM;
+  * latent = wext^T @ feT — one MXU matmul per block against the scene's
+    (HW+128, C_pad) transposed feature map (DMA'd per scene group of blocks);
+  * backward re-derives the weight tile and emits three cotangents the XLA
+    side finishes off: d(feature map) as a per-scene (HW+128, C_pad) table
+    (dfeT = wext @ dlat), d(pixel coords) via the Keys-cubic derivative
+    (dxp = sum_hw [ky (x) K'_x] * (feT @ dlat^T), flowing to the predicted
+    MANO root through the projection), and d(embedding columns);
+  * the trunk chain (both branches + classifier input) is the proven
+    points-major train-kernel structure: residual pre-activations stored,
+    ReLU/dropout gates recomputed in backward, dW/db accumulated in VMEM
+    across the sequential grid.
+
+Both trunks run in ONE kernel so the bicubic matmuls (the expensive part:
+~(HW+128) x C per point per matmul) are paid once, not per branch.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from alignsdf_tpu.config import Specs
+from alignsdf_tpu.ops.decoder_kernel import (
+    _classifier_pad,
+    _keys_cubic,
+    _round_up,
+    branch_columns,
+    build_branch_plan,
+)
+from alignsdf_tpu.ops.decoder_train_kernel import (
+    _dropout_gate,
+    _scene_block,
+    _vmem_kwargs,
+)
+
+
+def _keys_cubic_grad(t: jax.Array) -> jax.Array:
+    """d/dt of the Keys cubic (A=-0.75), continuous at |t|=1 and 2."""
+    a = -0.75
+    s = jnp.abs(t)
+    near = 3.0 * (a + 2.0) * s * s - 2.0 * (a + 3.0) * s
+    far = a * ((3.0 * s - 10.0) * s + 8.0)
+    mag = jnp.where(s <= 1.0, near, jnp.where(s < 2.0, far, 0.0))
+    return jnp.sign(t) * mag
+
+
+class PixelStatic(NamedTuple):
+    """Hashable static config for the pixel train kernel pair."""
+
+    n_layers: int
+    inject_p: Tuple[bool, ...]   # layers (>=1) that re-inject [lat, emb]
+    dropout_p: Tuple[bool, ...]
+    keep: float
+    block: int
+    cdtype: str
+    train: bool
+    interpret: bool
+    need_xlast: bool
+    bps: int                     # blocks per scene
+    hf: int
+    wf: int
+    combined: bool
+    has_obj: bool
+
+
+class PixelTrunk(NamedTuple):
+    """One trunk's kernel operands (pytree; None entries are empty subtrees).
+
+    wx[l]    (h_{l-1}_pad, h_l_pad) main-path weights, None at layer 0;
+    wlat[l]  (C_pad, h_l_pad) latent columns at x0-consuming layers else None;
+    wemb[l]  (emb_pad, h_l_pad) embedding columns likewise;
+    biases[l] (1, h_l_pad).
+    """
+
+    wx: Tuple[Optional[jax.Array], ...]
+    wlat: Tuple[Optional[jax.Array], ...]
+    wemb: Tuple[Optional[jax.Array], ...]
+    biases: Tuple[jax.Array, ...]
+
+
+def _x0_layers(static: PixelStatic) -> Tuple[bool, ...]:
+    return tuple(l == 0 or static.inject_p[l] for l in range(static.n_layers))
+
+
+def _split_trunk_refs(static: PixelStatic, refs, trunk: PixelTrunk):
+    """Pop one trunk's refs off the flat list, mirroring _flatten_trunk."""
+    out_wx, out_wlat, out_wemb = [], [], []
+    for kind, src, dst in (("wx", trunk.wx, out_wx),
+                           ("wlat", trunk.wlat, out_wlat),
+                           ("wemb", trunk.wemb, out_wemb)):
+        for w in src:
+            if w is None:
+                dst.append(None)
+            else:
+                dst.append(refs[0])
+                refs = refs[1:]
+    bs, refs = refs[:static.n_layers], refs[static.n_layers:]
+    return (out_wx, out_wlat, out_wemb, list(bs)), refs
+
+
+def _flatten_trunk(trunk: PixelTrunk):
+    ops = [w for w in trunk.wx if w is not None]
+    ops += [w for w in trunk.wlat if w is not None]
+    ops += [w for w in trunk.wemb if w is not None]
+    ops += list(trunk.biases)
+    return ops
+
+
+def _weight_tile(static: PixelStatic, xp, yp, mask, dtype):
+    """The (HW+128, BLK) separable bicubic weight tile: rows 0..HW-1 are the
+    Keys weights (masked), row HW carries the out-of-image mean fallback."""
+    hf, wf, block = static.hf, static.wf, static.block
+    cxi = jax.lax.broadcasted_iota(jnp.int32, (wf, block), 0).astype(
+        jnp.float32)
+    cyi = jax.lax.broadcasted_iota(jnp.int32, (hf, block), 0).astype(
+        jnp.float32)
+    kx = _keys_cubic(cxi - xp)                      # (Wf, BLK)
+    ky = _keys_cubic(cyi - yp)                      # (Hf, BLK)
+    wxy = (ky[:, None, :] * kx[None, :, :]).reshape(hf * wf, block) * mask
+    mrow = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (128, block), 0) == 0,
+        1.0 - mask, 0.0)
+    return jnp.concatenate([wxy, mrow], axis=0).astype(dtype), kx, ky
+
+
+def _trunk_forward(static: PixelStatic, trunk_refs, lat, emb, seed, gid,
+                   a_refs, xlast_ref, seed_off: int):
+    """One trunk's forward chain; returns the final pre-tanh (BLK, h_last)."""
+    wx, wlat, wemb, bs = trunk_refs
+    dtype = jnp.dtype(static.cdtype)
+    x0l = _x0_layers(static)
+    x = None
+    for layer in range(static.n_layers):
+        if layer == static.n_layers - 1 and xlast_ref is not None:
+            xlast_ref[:] = x.astype(jnp.float32)
+        acc = bs[layer][0:1, :]
+        if wx[layer] is not None:
+            acc = acc + jnp.dot(x, wx[layer][:],
+                                preferred_element_type=jnp.float32)
+        if x0l[layer]:
+            acc = acc + jnp.dot(lat, wlat[layer][:],
+                                preferred_element_type=jnp.float32)
+            acc = acc + jnp.dot(emb, wemb[layer][:],
+                                preferred_element_type=jnp.float32)
+        if layer < static.n_layers - 1:
+            a_refs[layer][:] = acc.astype(a_refs[layer].dtype)
+            x = jnp.maximum(acc, 0.0)
+            if static.train and static.dropout_p[layer]:
+                x = x * _dropout_gate(seed, layer + seed_off, x.shape[0],
+                                      x.shape[1], static.keep, gid)
+            x = x.astype(dtype)
+        else:
+            return acc
+    raise AssertionError("unreachable")
+
+
+def _fwd_kernel(static: PixelStatic, trunks_def, seed_ref, pix_ref, emb_ref,
+                fe_ref, *refs):
+    n_hidden = static.n_layers - 1
+    dtype = jnp.dtype(static.cdtype)
+    gid = pl.program_id(0)
+    seed = seed_ref[0]
+
+    trunk_h, refs = _split_trunk_refs(static, list(refs), trunks_def[0])
+    trunk_o = None
+    if static.has_obj:
+        trunk_o, refs = _split_trunk_refs(static, refs, trunks_def[1])
+    y_ref = refs[0]
+    refs = refs[1:]
+    xlast_ref = None
+    if static.need_xlast:
+        xlast_ref, refs = refs[0], refs[1:]
+    ah_refs, refs = refs[:n_hidden], refs[n_hidden:]
+    ao_refs = refs[:n_hidden] if static.has_obj else []
+
+    xp = pix_ref[0:1, :]
+    yp = pix_ref[1:2, :]
+    mask = pix_ref[2:3, :]
+    wext, _, _ = _weight_tile(static, xp, yp, mask, dtype)
+
+    # latent = wext^T @ feT: (BLK, C_pad), f32 accumulate
+    lat = jax.lax.dot_general(wext, fe_ref[:].astype(dtype),
+                              (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    lat = lat.astype(dtype)
+    emb = emb_ref[:].astype(dtype)
+
+    acc_h = _trunk_forward(static, trunk_h, lat, emb, seed, gid, ah_refs,
+                           xlast_ref, 0)
+    lane8 = jax.lax.broadcasted_iota(jnp.int32, (static.block, 8), 1)
+    if static.combined:
+        y = jnp.where(lane8 < 2, jnp.tanh(acc_h[:, :8]), 0.0)
+    else:
+        y = jnp.where(lane8 == 0, jnp.tanh(acc_h[:, :8]), 0.0)
+        if static.has_obj:
+            acc_o = _trunk_forward(static, trunk_o, lat, emb, seed, gid,
+                                   ao_refs, None, static.n_layers)
+            y = y + jnp.where(lane8 == 1,
+                              pltpu.roll(jnp.tanh(acc_o[:, :8]), shift=1,
+                                         axis=1), 0.0)
+    y_ref[:] = y
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def fused_pixel_decoder(static: PixelStatic, trunks, fe, pix, emb, seed):
+    """Both trunks fused with in-kernel pixel-aligned latents.
+
+    trunks: (hand PixelTrunk, obj PixelTrunk | None);
+    fe:  (B*(HW+128), C_pad) per-scene transposed feature maps, row HW of
+         each scene's band holding the mean feature;
+    pix: (8, M) f32 — rows 0/1/2 = x-pixel, y-pixel, in-image mask;
+    emb: (M, emb_pad) embedding columns.
+    Returns (y (M, 8) f32 — col 0 hand sdf, col 1 obj —, x_last (M, h) f32).
+    """
+    (y, x_last), _ = _fused_pixel_fwd(static, trunks, fe, pix, emb, seed)
+    return y, x_last
+
+
+def _rep_spec(op):
+    return pl.BlockSpec(op.shape,
+                        partial(lambda nd, i: (0,) * nd, len(op.shape)),
+                        memory_space=pltpu.VMEM)
+
+
+def _fused_pixel_fwd(static: PixelStatic, trunks, fe, pix, emb, seed):
+    m = emb.shape[0]
+    block, bps = static.block, static.bps
+    assert m % block == 0, (m, block)
+    hw_ext = static.hf * static.wf + 128
+    c_pad = fe.shape[1]
+    dt = jnp.dtype(static.cdtype)
+    rdtype = dt
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+    n_hidden = static.n_layers - 1
+
+    def cast_trunk(t):
+        if t is None:
+            return None
+        c = lambda w: None if w is None else w.astype(dt)  # noqa: E731
+        return PixelTrunk(tuple(c(w) for w in t.wx),
+                          tuple(c(w) for w in t.wlat),
+                          tuple(c(w) for w in t.wemb), t.biases)
+
+    trunks_k = (cast_trunk(trunks[0]),
+                cast_trunk(trunks[1]) if static.has_obj else None)
+    fe_k = fe.astype(dt)
+    ops = _flatten_trunk(trunks_k[0])
+    if static.has_obj:
+        ops += _flatten_trunk(trunks_k[1])
+
+    h_pads = [b.shape[1] for b in trunks[0].biases]
+    grid = (m // block,)
+
+    out_shapes = [jax.ShapeDtypeStruct((m, 8), jnp.float32)]
+    out_specs = [pl.BlockSpec((block, 8), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)]
+    if static.need_xlast:
+        out_shapes.append(jax.ShapeDtypeStruct((m, h_pads[-2]), jnp.float32))
+        out_specs.append(pl.BlockSpec((block, h_pads[-2]), lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM))
+    n_res = n_hidden * (2 if static.has_obj else 1)
+    for t in range(2 if static.has_obj else 1):
+        out_shapes += [jax.ShapeDtypeStruct((m, h_pads[i]), rdtype)
+                       for i in range(n_hidden)]
+        out_specs += [pl.BlockSpec((block, h_pads[i]), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)
+                      for i in range(n_hidden)]
+
+    outs = pl.pallas_call(
+        partial(_fwd_kernel, static, trunks_k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),                 # seed
+            pl.BlockSpec((8, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),                 # pix
+            pl.BlockSpec((block, emb.shape[1]), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),                 # emb
+            pl.BlockSpec((hw_ext, c_pad), lambda i: (i // bps, 0),
+                         memory_space=pltpu.VMEM),                 # feT band
+            *[_rep_spec(op) for op in ops],
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=static.interpret,
+        **_vmem_kwargs(static.interpret),
+    )(seed_arr, pix, emb.astype(dt), fe_k, *ops)
+
+    y = outs[0]
+    i = 1
+    if static.need_xlast:
+        x_last, i = outs[1], 2
+    else:
+        x_last = jnp.zeros((m, h_pads[-2]), jnp.float32)  # DCE'd by XLA
+    a_list = tuple(outs[i:i + n_res])
+    res = (trunks_k, fe_k, pix, emb.astype(dt), a_list, y, seed_arr)
+    return (y, x_last), res
+
+
+def _trunk_backward(static: PixelStatic, trunk_refs, d_refs, a_refs, lat, emb,
+                    dpre_last, dxlast, seed, gid, seed_off: int):
+    """Reverse chain for one trunk.  Returns (dlat_acc, demb_acc) (BLK, *) f32
+    and accumulates dwx/dwlat/dwemb/db into the VMEM accumulator refs."""
+    wx, wlat, wemb, _ = trunk_refs
+    dwx, dwlat, dwemb, dbs = d_refs
+    dtype = jnp.dtype(static.cdtype)
+    x0l = _x0_layers(static)
+    blk = emb.shape[0]
+
+    # recompute activations and combined relu*dropout gates from residuals
+    acts = []
+    gates = []
+    for layer in range(static.n_layers - 1):
+        a = a_refs[layer][:].astype(jnp.float32)
+        gate = (a > 0.0).astype(jnp.float32)
+        if static.train and static.dropout_p[layer]:
+            gate = gate * _dropout_gate(seed, layer + seed_off, blk,
+                                        a.shape[1], static.keep, gid)
+        gates.append(gate)
+        acts.append((a * gate).astype(dtype))
+
+    def mm_t_lhs(x, d):
+        return jax.lax.dot_general(x, d.astype(dtype),
+                                   (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    dlat_acc = jnp.zeros((blk, lat.shape[1]), jnp.float32)
+    demb_acc = jnp.zeros((blk, emb.shape[1]), jnp.float32)
+    row0 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0) == 0
+    dpre = dpre_last
+    for layer in range(static.n_layers - 1, -1, -1):
+        dbs[layer][:] += jnp.where(
+            row0, jnp.sum(dpre, axis=0, keepdims=True), 0.0)
+        if x0l[layer]:
+            dwlat[layer][:] += mm_t_lhs(lat, dpre)
+            dwemb[layer][:] += mm_t_lhs(emb, dpre)
+            dlat_acc = dlat_acc + jax.lax.dot_general(
+                dpre.astype(dtype), wlat[layer][:],
+                (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+            demb_acc = demb_acc + jax.lax.dot_general(
+                dpre.astype(dtype), wemb[layer][:],
+                (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        if wx[layer] is not None:
+            dwx[layer][:] += mm_t_lhs(acts[layer - 1], dpre)
+            dx = jax.lax.dot_general(
+                dpre.astype(dtype), wx[layer][:],
+                (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+            if layer == static.n_layers - 1 and dxlast is not None:
+                dx = dx + dxlast
+            dpre = dx * gates[layer - 1]
+    return dlat_acc, demb_acc
+
+
+def _bwd_kernel(static: PixelStatic, trunks_def, seed_ref, pix_ref, emb_ref,
+                dy_ref, *refs):
+    n_hidden = static.n_layers - 1
+    dtype = jnp.dtype(static.cdtype)
+    gid = pl.program_id(0)
+    seed = seed_ref[0]
+    hw = static.hf * static.wf
+
+    dxlast_in = None
+    if static.need_xlast:
+        dxlast_in, refs = refs[0], list(refs[1:])
+    else:
+        refs = list(refs)
+    fe_ref, refs = refs[0], refs[1:]
+    trunk_h, refs = _split_trunk_refs(static, refs, trunks_def[0])
+    trunk_o = None
+    if static.has_obj:
+        trunk_o, refs = _split_trunk_refs(static, refs, trunks_def[1])
+    ah_refs, refs = refs[:n_hidden], refs[n_hidden:]
+    ao_refs = []
+    if static.has_obj:
+        ao_refs, refs = refs[:n_hidden], refs[n_hidden:]
+    y_ref, sel_h_ref, refs = refs[0], refs[1], refs[2:]
+    sel_o_ref = None
+    if static.has_obj:
+        sel_o_ref, refs = refs[0], refs[1:]
+    # outputs
+    dfe_ref, dpix_ref, demb_ref = refs[0], refs[1], refs[2]
+    refs = refs[3:]
+
+    def take_d():
+        nonlocal refs
+        dwx = [None] * static.n_layers
+        dwlat = [None] * static.n_layers
+        dwemb = [None] * static.n_layers
+        x0l = _x0_layers(static)
+        for layer in range(static.n_layers):
+            if layer > 0:
+                dwx[layer], refs = refs[0], refs[1:]
+        for layer in range(static.n_layers):
+            if x0l[layer]:
+                dwlat[layer], refs = refs[0], refs[1:]
+        for layer in range(static.n_layers):
+            if x0l[layer]:
+                dwemb[layer], refs = refs[0], refs[1:]
+        dbs, refs = refs[:static.n_layers], refs[static.n_layers:]
+        return dwx, dwlat, dwemb, list(dbs)
+
+    d_h = take_d()
+    d_o = take_d() if static.has_obj else None
+
+    @pl.when(gid == 0)
+    def _init():
+        for group in (d_h,) + ((d_o,) if static.has_obj else ()):
+            for part in group:
+                for r in part:
+                    if r is not None:
+                        r[:] = jnp.zeros_like(r)
+
+    @pl.when(gid % static.bps == 0)
+    def _init_scene():
+        dfe_ref[:] = jnp.zeros_like(dfe_ref)
+
+    xp = pix_ref[0:1, :]
+    yp = pix_ref[1:2, :]
+    mask = pix_ref[2:3, :]
+    wext, kx, ky = _weight_tile(static, xp, yp, mask, dtype)
+    fe = fe_ref[:].astype(dtype)
+    lat = jax.lax.dot_general(wext, fe, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32).astype(dtype)
+    emb = emb_ref[:].astype(dtype)
+
+    # split the 8-lane dy into per-trunk last-layer cotangents
+    y8 = y_ref[:]
+    dpre8 = dy_ref[:] * (1.0 - y8 * y8)               # (BLK, 8)
+    dpre_h = jnp.dot(dpre8, sel_h_ref[:], preferred_element_type=jnp.float32)
+    dlat_h, demb_h = _trunk_backward(static, trunk_h, d_h, ah_refs, lat, emb,
+                                     dpre_h, dxlast_in[:] if dxlast_in is not
+                                     None else None, seed, gid, 0)
+    dlat = dlat_h
+    demb = demb_h
+    if static.has_obj:
+        dpre_o = jnp.dot(dpre8, sel_o_ref[:],
+                         preferred_element_type=jnp.float32)
+        dlat_o, demb_o = _trunk_backward(static, trunk_o, d_o, ao_refs, lat,
+                                         emb, dpre_o, None, seed, gid,
+                                         static.n_layers)
+        dlat = dlat + dlat_o
+        demb = demb + demb_o
+    demb_ref[:] = demb
+
+    # feature-map cotangent: dfeT += wext @ dlat  (HW+128, C_pad)
+    dlat_c = dlat.astype(dtype)
+    dfe_ref[:] += jnp.dot(wext, dlat_c, preferred_element_type=jnp.float32)
+
+    # pixel-coordinate cotangents via the Keys-cubic derivative:
+    #   dW[q, p] = sum_c feT[q, c] * dlat[p, c]   (HW+128, BLK)
+    #   dxp[p]   = sum_{r,c} dW[(r,c), p] * ky[r, p] * d/dxp K(c - xp)
+    dw = jax.lax.dot_general(fe, dlat_c, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)[:hw, :]
+    cxi = jax.lax.broadcasted_iota(jnp.int32, (static.wf, static.block),
+                                   0).astype(jnp.float32)
+    cyi = jax.lax.broadcasted_iota(jnp.int32, (static.hf, static.block),
+                                   0).astype(jnp.float32)
+    gx = -_keys_cubic_grad(cxi - xp)                  # (Wf, BLK)
+    gy = -_keys_cubic_grad(cyi - yp)                  # (Hf, BLK)
+    w_gx = (ky[:, None, :] * gx[None, :, :]).reshape(hw, static.block) * mask
+    dxp = jnp.sum(w_gx * dw, axis=0, keepdims=True)   # (1, BLK)
+    w_gy = (gy[:, None, :] * kx[None, :, :]).reshape(hw, static.block) * mask
+    dyp = jnp.sum(w_gy * dw, axis=0, keepdims=True)
+    r8 = jax.lax.broadcasted_iota(jnp.int32, (8, static.block), 0)
+    dpix_ref[:] = jnp.where(r8 == 0, dxp, 0.0) + jnp.where(r8 == 1, dyp, 0.0)
+
+
+def _fused_pixel_bwd(static: PixelStatic, res, cots):
+    trunks_k, fe, pix, emb, a_list, y, seed_arr = res
+    dy, dx_last = cots
+    m = emb.shape[0]
+    block, bps = static.block, static.bps
+    hw_ext = static.hf * static.wf + 128
+    c_pad = fe.shape[1]
+    n_hidden = static.n_layers - 1
+    grid = (m // block,)
+    x0l = _x0_layers(static)
+
+    ops = _flatten_trunk(trunks_k[0])
+    if static.has_obj:
+        ops += _flatten_trunk(trunks_k[1])
+
+    h_last = trunks_k[0].biases[-1].shape[1]
+    sel_h = jnp.zeros((8, h_last), jnp.float32)
+    out_h = 2 if static.combined else 1
+    sel_h = sel_h.at[jnp.arange(out_h), jnp.arange(out_h)].set(1.0)
+    sels = [sel_h]
+    if static.has_obj:
+        h_last_o = trunks_k[1].biases[-1].shape[1]
+        sel_o = jnp.zeros((8, h_last_o), jnp.float32).at[1, 0].set(1.0)
+        sels.append(sel_o)
+
+    def d_shapes(trunk: PixelTrunk):
+        shapes, specs = [], []
+        for layer in range(static.n_layers):
+            if layer > 0:
+                shapes.append(jax.ShapeDtypeStruct(trunk.wx[layer].shape,
+                                                   jnp.float32))
+                specs.append(_rep_spec(trunk.wx[layer]))
+        for source in (trunk.wlat, trunk.wemb):
+            for layer in range(static.n_layers):
+                if x0l[layer]:
+                    shapes.append(jax.ShapeDtypeStruct(source[layer].shape,
+                                                       jnp.float32))
+                    specs.append(_rep_spec(source[layer]))
+        for b in trunk.biases:
+            shapes.append(jax.ShapeDtypeStruct((8, b.shape[1]), jnp.float32))
+            specs.append(_rep_spec(jnp.zeros((8, b.shape[1]))))
+        return shapes, specs
+
+    blk_spec = lambda w: pl.BlockSpec((block, w), lambda i: (i, 0),  # noqa: E731
+                                      memory_space=pltpu.VMEM)
+
+    out_shapes = [
+        jax.ShapeDtypeStruct(fe.shape, jnp.float32),            # dfeT
+        jax.ShapeDtypeStruct((8, m), jnp.float32),              # dpix
+        jax.ShapeDtypeStruct((m, emb.shape[1]), jnp.float32),   # demb
+    ]
+    out_specs = [
+        pl.BlockSpec((hw_ext, c_pad), lambda i: (i // bps, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+        blk_spec(emb.shape[1]),
+    ]
+    sh_h, sp_h = d_shapes(trunks_k[0])
+    out_shapes += sh_h
+    out_specs += sp_h
+    n_dh = len(sh_h)
+    if static.has_obj:
+        sh_o, sp_o = d_shapes(trunks_k[1])
+        out_shapes += sh_o
+        out_specs += sp_o
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),                   # seed
+        pl.BlockSpec((8, block), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),                   # pix
+        blk_spec(emb.shape[1]),                                  # emb
+        blk_spec(8),                                             # dy
+    ]
+    operands = [seed_arr, pix, emb, dy]
+    if static.need_xlast:
+        in_specs.append(blk_spec(dx_last.shape[1]))
+        operands.append(dx_last)
+    in_specs.append(pl.BlockSpec((hw_ext, c_pad), lambda i: (i // bps, 0),
+                                 memory_space=pltpu.VMEM))       # feT band
+    operands.append(fe)
+    in_specs += [_rep_spec(op) for op in ops]
+    operands += ops
+    for t in range(2 if static.has_obj else 1):
+        in_specs += [blk_spec(a_list[t * n_hidden + i].shape[1])
+                     for i in range(n_hidden)]
+        operands += list(a_list[t * n_hidden:(t + 1) * n_hidden])
+    in_specs.append(blk_spec(8))                                 # y
+    operands.append(y)
+    in_specs += [_rep_spec(s) for s in sels]
+    operands += sels
+
+    outs = pl.pallas_call(
+        partial(_bwd_kernel, static, trunks_k),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=static.interpret,
+        **_vmem_kwargs(static.interpret),
+    )(*operands)
+
+    dfe, dpix, demb = outs[0], outs[1], outs[2]
+
+    def unpack_d(chunk, trunk: PixelTrunk):
+        it = iter(chunk)
+        dwx = tuple(next(it) if layer > 0 else None
+                    for layer in range(static.n_layers))
+        dwlat = tuple(next(it) if x0l[layer] else None
+                      for layer in range(static.n_layers))
+        dwemb = tuple(next(it) if x0l[layer] else None
+                      for layer in range(static.n_layers))
+        dbs = tuple(o[0:1] for o in it)  # db lives in row 0
+        return PixelTrunk(dwx, dwlat, dwemb, dbs)
+
+    d_hand = unpack_d(outs[3:3 + n_dh], trunks_k[0])
+    d_obj = None
+    if static.has_obj:
+        d_obj = unpack_d(outs[3 + n_dh:], trunks_k[1])
+    return (d_hand, d_obj), dfe, dpix, demb, None
+
+
+fused_pixel_decoder.defvjp(_fused_pixel_fwd, _fused_pixel_bwd)
+
+
+def make_fused_train_decoder_pixel(specs: Specs,
+                                   interpret: Optional[bool] = None,
+                                   block_cap: int = 512):
+    """decode(decoder_params, fmap (B, Hf, Wf, C) NHWC, emb (M, pfs), xyz
+    (M, 3), cam_intr (B, 3, 3+), pred_root (B, 1, 3), seed, train) ->
+    (sdf_h, sdf_o, logits) via fused_pixel_decoder, or None when the config
+    is not pixel-aligned / outside the kernel structure.  decode.pixel is
+    True so the train step knows to call model.decoder_inputs_pixel.
+
+    The camera projection (reference utils/utils.py:536-549) stays in plain
+    differentiable jnp here, so the pixel-coordinate cotangents the kernel
+    emits flow to the predicted MANO root automatically; only the bicubic
+    sampling + decoder chain live in the kernel.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    ns = specs.network_specs
+    if (not specs.pixel_align or not ns.weight_norm or ns.use_tanh
+            or ns.latent_dropout or ns.xyz_in_all or 0 in ns.latent_in):
+        return None
+    block = _scene_block(specs.samples_per_scene, cap=block_cap)
+    if block is None or block < 16:
+        return None
+    ls, pfs = specs.latent_size, specs.point_feat_size
+    combined = specs.model_type == "1encoder1decoder"
+    keep = 1.0 - ns.dropout_prob
+    n_layers = len(ns.dims) + 1
+    inject_pattern = tuple(layer in ns.latent_in for layer in range(n_layers))
+    dropout_pattern = tuple(bool(ns.dropout) and layer in ns.dropout
+                            for layer in range(n_layers - 1))
+    emb_pad = _round_up(pfs, 16)
+    c_pad = _round_up(ls, 128)
+    cols_h, cols_o = branch_columns(specs)
+
+    def split_trunk(branch_params, prefix, cols, out_dim):
+        """BranchPlan -> PixelTrunk: latent rows -> wlat, embedding rows
+        scattered to their positions in the full pfs-wide emb input."""
+        plan = build_branch_plan(branch_params, prefix, ls + len(cols), ns,
+                                 out_dim, dtype=jnp.float32)
+        x0l = tuple(l == 0 or inject_pattern[l] for l in range(n_layers))
+        wx, wlat, wemb = [], [], []
+        cols_idx = np.asarray(cols, np.int32)
+        for layer in range(n_layers):
+            main = plan.weights[layer]
+            injw = plan.inject_weights[layer]
+            if layer == 0:
+                wx.append(None)
+                src = main
+            else:
+                wx.append(main)
+                src = injw
+            if x0l[layer]:
+                w_lat = src[:ls]
+                w_lat = jnp.pad(w_lat, ((0, c_pad - ls), (0, 0)))
+                w_emb = jnp.zeros((emb_pad, src.shape[1]), src.dtype)
+                w_emb = w_emb.at[cols_idx].set(src[ls:ls + len(cols)])
+                wlat.append(w_lat)
+                wemb.append(w_emb)
+            else:
+                wlat.append(None)
+                wemb.append(None)
+        return PixelTrunk(tuple(wx), tuple(wlat), tuple(wemb), plan.biases)
+
+    def classifier_apply(branch_params, x_last):
+        from alignsdf_tpu.ops.decoder_kernel import _materialize_linear
+
+        cw, cb = _materialize_linear(branch_params["classifier_head"])
+        logits = x_last[:, :cw.shape[0]] @ cw + cb
+        return logits.astype(jnp.float32)
+
+    def decode(decoder_params, fmap, emb, xyz, cam_intr, pred_root, seed,
+               train=True):
+        b, hf, wf, c = fmap.shape
+        hw = hf * wf
+        m = emb.shape[0]
+        n = m // b
+        assert n % block == 0, (n, block)
+        bps = n // block
+
+        # per-scene transposed+extended feature table (B*(HW+128), C_pad):
+        # rows 0..HW-1 the flattened map, row HW the mean feature
+        flat = fmap.astype(jnp.float32).reshape(b, hw, c)
+        mean = flat.mean(axis=1, keepdims=True)
+        fe = jnp.concatenate(
+            [flat, mean, jnp.zeros((b, 127, c), jnp.float32)], axis=1)
+        if c_pad != c:
+            fe = jnp.pad(fe, ((0, 0), (0, 0), (0, c_pad - c)))
+        fe = fe.reshape(b * (hw + 128), c_pad)
+
+        # camera projection (reference utils/utils.py:536-549): pixel coords
+        # in feature-map units (align_corners: u=-1 -> col 0, u=1 -> Wf-1)
+        imgsz = float(specs.image_size[0])
+        xyz_cam = (xyz.reshape(b, n, 3) * (2.0 / specs.sdf_scale_factor)
+                   + pred_root)
+        hom = jnp.einsum("bij,bnj->bni", cam_intr[:, :3, :3], xyz_cam)
+        zc = hom[..., 2]
+        xi = hom[..., 0] / zc
+        yi = hom[..., 1] / zc
+        in_img = ((xi >= 0.0) & (xi <= imgsz) & (yi >= 0.0) & (yi <= imgsz)
+                  & jnp.isfinite(xi) & jnp.isfinite(yi))
+        mask = in_img.astype(jnp.float32)
+        xp = jnp.where(in_img, xi, 0.0) * ((wf - 1) / imgsz)
+        yp = jnp.where(in_img, yi, 0.0) * ((hf - 1) / imgsz)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (8, m), 0)
+        pix = (jnp.where(lane == 0, xp.reshape(1, m), 0.0)
+               + jnp.where(lane == 1, yp.reshape(1, m), 0.0)
+               + jnp.where(lane == 2, mask.reshape(1, m), 0.0))
+
+        emb_in = jnp.pad(emb, ((0, 0), (0, emb_pad - emb.shape[1])))
+
+        if combined:
+            trunk_params = decoder_params["trunk"]
+            need_cls = specs.classifier_branch
+            trunks = (split_trunk(trunk_params, "lin", cols_h, 2), None)
+        else:
+            trunk_params = decoder_params["hand"]
+            need_cls = (specs.classifier_branch
+                        and "classifier_head" in trunk_params)
+            trunks = (split_trunk(trunk_params, "linh", cols_h, 1),
+                      split_trunk(decoder_params["obj"], "lino", cols_o, 1))
+
+        static = PixelStatic(
+            n_layers, inject_pattern, dropout_pattern, keep, block,
+            specs.compute_dtype, bool(train), interpret, bool(need_cls),
+            bps, hf, wf, combined, not combined)
+        y, x_last = fused_pixel_decoder(static, trunks, fe, pix, emb_in, seed)
+        logits = classifier_apply(trunk_params, x_last) if need_cls else None
+        return y[:, 0:1], y[:, 1:2], logits
+
+    decode.pixel = True
+    decode.block = block
+    return decode

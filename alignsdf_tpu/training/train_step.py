@@ -86,6 +86,21 @@ def make_train_step(model: AlignSDF, specs: Specs,
                     variables, batch["image"], batch["xyz"], cond,
                     train=True, dropout_rng=rng, mutable=["batch_stats"],
                 )
+            elif getattr(decoder_override, "pixel", False):
+                # pixel-align kernel: the HeadNet feature map stays (B, Hf,
+                # Wf, C); bicubic sampling happens inside the decoder kernel
+                # (ops/decoder_train_pixel), the projection in plain jnp here
+                (fmap, emb, mano_results, obj_results), mutated = model.apply(
+                    variables, batch["image"], batch["xyz"], cond,
+                    train=True, mutable=["batch_stats"],
+                    method=model.decoder_inputs_pixel,
+                )
+                seed = jax.random.randint(rng, (), 0, jnp.iinfo(jnp.int32).max)
+                sdf_hand, sdf_obj, logits = decoder_override(
+                    params["decoder"], fmap, emb, batch["xyz"],
+                    batch["cam_intr"], mano_results["joints"][:, 0:1],
+                    seed, train=True)
+                outputs = (sdf_hand, sdf_obj, logits, mano_results, obj_results)
             elif getattr(decoder_override, "factored", False):
                 # scene-factored kernel: latent stays (B, ls); it is folded
                 # into per-scene biases inside the decode fn, never broadcast

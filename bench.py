@@ -57,6 +57,7 @@ def bench_train():
         scenes_per_batch=64, hand_sdf_weight=0.5, obj_sdf_weight=0.5,
         joint_weight=0.5, shape_reg_weight=5e-7, pose_reg_weight=5e-5,
         network_specs=NS(),
+        pixel_align="--pixel" in sys.argv,  # reference --pa_feat family
         compute_dtype="bfloat16" if "--bf16" in sys.argv else "float32",
     )
     model = build_model(specs)
@@ -69,11 +70,15 @@ def bench_train():
             make_fused_train_decoder,
             make_fused_train_decoder_factored,
         )
+        from alignsdf_tpu.ops.decoder_train_pixel import (
+            make_fused_train_decoder_pixel,
+        )
 
         if "--no-factored" in sys.argv:
             decoder_override = make_fused_train_decoder(specs)
         else:
-            decoder_override = (make_fused_train_decoder_factored(specs)
+            decoder_override = (make_fused_train_decoder_pixel(specs)
+                                or make_fused_train_decoder_factored(specs)
                                 or make_fused_train_decoder(specs))
         assert decoder_override is not None
     from alignsdf_tpu.training.train_step import make_multi_step
