@@ -42,6 +42,165 @@ def synthetic_train_batch(specs: Specs, batch_size: int = 2,
     }
 
 
+def geometric_scene_params(key: str, seed: int = 0) -> Dict[str, np.ndarray]:
+    """Deterministic per-scene geometry for the geometric dataset: hand and
+    object spheres in the WORK frame (camera frame after the ObMan extrinsic
+    flip — the frame meta joints land in after `cam_extr @ coords_3d`)."""
+    rng = np.random.RandomState((hash(key) ^ seed) & 0x7FFFFFFF)
+    root = np.array([0.0, 0.0, 0.55], np.float32) + rng.uniform(
+        -0.04, 0.04, 3).astype(np.float32)
+    direction = rng.randn(3).astype(np.float32)
+    direction /= np.linalg.norm(direction)
+    obj_center = root + direction * rng.uniform(0.08, 0.11)
+    return {
+        "root": root,
+        "hand_radius": np.float32(0.06),
+        "obj_center": obj_center.astype(np.float32),
+        "obj_radius": np.float32(0.04),
+    }
+
+
+def _icosphere(center, radius: float, subdiv: int = 3):
+    """Octahedron-subdivision sphere mesh (verts, faces)."""
+    verts = np.array([[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0],
+                      [0, 0, 1], [0, 0, -1]], np.float64)
+    faces = np.array([[0, 2, 4], [2, 1, 4], [1, 3, 4], [3, 0, 4],
+                      [2, 0, 5], [1, 2, 5], [3, 1, 5], [0, 3, 5]], np.int64)
+    for _ in range(subdiv):
+        edge_mid: Dict[tuple, int] = {}
+        new_faces = []
+        verts_list = list(verts)
+
+        def mid(a, b):
+            k = (min(a, b), max(a, b))
+            if k not in edge_mid:
+                m = verts_list[a] + verts_list[b]
+                m /= np.linalg.norm(m)
+                edge_mid[k] = len(verts_list)
+                verts_list.append(m)
+            return edge_mid[k]
+
+        for f in faces:
+            a, b, c = int(f[0]), int(f[1]), int(f[2])
+            ab, bc, ca = mid(a, b), mid(b, c), mid(c, a)
+            new_faces += [[a, ab, ca], [ab, b, bc], [ca, bc, c], [ab, bc, ca]]
+        verts = np.asarray(verts_list)
+        faces = np.asarray(new_faces, np.int64)
+    verts = verts / np.linalg.norm(verts, axis=1, keepdims=True)
+    return (verts * radius + np.asarray(center)).astype(np.float32), faces
+
+
+def write_geometric_dataset(root: str, keys: List[str],
+                            dataset: str = "obman", n_points: int = 8000,
+                            seed: int = 0, image_hw: int = 256,
+                            split: str = "train") -> str:
+    """A dataset with ANALYTICALLY KNOWN geometry in the reference layout:
+    per scene, the hand is a sphere at the MANO root and the object a sphere
+    at a nearby offset; SDF samples carry the exact sphere signed distances
+    (both 'self' and 'other' columns), meta joints/corners/centers are
+    consistent with the spheres, and GT meshes land in mesh_hand/mesh_obj.
+
+    Training on this set and reconstructing it measures whether the COMPOSED
+    system optimizes to correct geometry (the reference's de-facto oracle:
+    eval metrics after training, SURVEY §4) — chamfer to the analytic
+    spheres must approach the voxel floor.
+
+    norm npz is written with scale=1/offset=0, so npz coordinates ARE work-
+    frame coordinates through the loader chain (x/scale - offset).
+    Returns the '<root>/<dataset>/<split>' data_source path.
+    """
+    import cv2
+
+    from alignsdf_tpu.geom.meshlib import TriMesh
+
+    flip = np.array([[1, 0, 0], [0, -1, 0], [0, 0, -1]], np.float32)
+    base = os.path.join(root, dataset, split)
+    for sub in ("rgb", "norm", "meta", "sdf_hand", "sdf_obj", "mesh_hand",
+                "mesh_obj"):
+        os.makedirs(os.path.join(base, sub), exist_ok=True)
+
+    corner_offsets = np.array(
+        [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
+        np.float32)
+
+    for key in keys:
+        scene = geometric_scene_params(key, seed)
+        rng = np.random.RandomState((hash(key) ^ seed ^ 0x5A17) & 0x7FFFFFFF)
+        img = (rng.rand(image_hw, image_hw, 3) * 255).astype(np.uint8)
+        cv2.imwrite(os.path.join(base, "rgb", key + ".jpg"), img[:, :, ::-1])
+        np.savez(os.path.join(base, "norm", key + ".npz"),
+                 scale=np.array([1.0], np.float32),
+                 offset=np.zeros(3, np.float32))
+
+        centers = {"sdf_hand": (scene["root"], float(scene["hand_radius"]),
+                                scene["obj_center"], float(scene["obj_radius"])),
+                   "sdf_obj": (scene["obj_center"], float(scene["obj_radius"]),
+                               scene["root"], float(scene["hand_radius"]))}
+        half = n_points // 2
+        for sub, (c, r, c_other, r_other) in centers.items():
+            # near-surface shell + 15% uniform box (the reference's 94%/6%
+            # near-surface split, PreprocessMesh.cpp:726)
+            n_near = int(n_points * 0.85)
+            u = rng.randn(n_points, 3)
+            u /= np.linalg.norm(u, axis=1, keepdims=True)
+            radii = r + rng.randn(n_points) * 0.02
+            pts = c + u * np.maximum(radii, 0.005)[:, None]
+            pts[n_near:] = c + rng.uniform(-0.18, 0.18, (n_points - n_near, 3))
+            sdf = (np.linalg.norm(pts - c, axis=1) - r).astype(np.float32)
+            sdf_other = (np.linalg.norm(pts - c_other, axis=1)
+                         - r_other).astype(np.float32)
+            pos = sdf >= 0
+            blocks = {}
+            for name, m in (("pos", pos), ("neg", ~pos)):
+                take = np.where(m)[0][:half]
+                # pad by repetition if one side is short
+                if len(take) < half:
+                    take = np.concatenate(
+                        [take, np.resize(take, half - len(take))])
+                blocks[name] = np.concatenate(
+                    [pts[take], sdf[take, None]], axis=1).astype(np.float32)
+                blocks[name + "_other"] = sdf_other[take, None].astype(
+                    np.float32)
+                blocks["lab_" + name] = np.zeros((half, 4), np.uint8)
+                blocks["lab_" + name + "_other"] = np.zeros((half, 4),
+                                                            np.uint8)
+            np.savez(os.path.join(base, sub, key + ".npz"), **blocks)
+
+        # meta in the stored (pre-flip) frame: work = flip @ stored
+        joints_w = scene["root"] + np.concatenate(
+            [np.zeros((1, 3), np.float32),
+             rng.randn(20, 3).astype(np.float32) * 0.03])
+        obj_pts_w = np.concatenate(
+            [scene["obj_center"][None],
+             scene["obj_center"] + corner_offsets * scene["obj_radius"]])
+        rest_w = np.concatenate(
+            [np.zeros((1, 3), np.float32),
+             corner_offsets * scene["obj_radius"]])
+        meta = {
+            "coords_3d": (flip @ joints_w.T).T.astype(np.float32),
+            "obj_corners_3d": (flip @ obj_pts_w.T).T.astype(np.float32),
+            "obj_rest_corners_3d": (flip @ rest_w.T).T.astype(np.float32),
+            "hand_pose": np.zeros(45, np.float32),
+            "affine_transform": np.eye(4, dtype=np.float32),
+            "cam_intr": np.array([[480.0, 0, 128], [0, 480.0, 128],
+                                  [0, 0, 1]], np.float32),
+            "camMat": np.array([[480.0, 0, 128], [0, 480.0, 128], [0, 0, 1]],
+                               np.float32),
+            "handJoints3D": (flip @ joints_w[0]).astype(np.float32),
+        }
+        with open(os.path.join(base, "meta", key + ".pkl"), "wb") as f:
+            pickle.dump(meta, f)
+
+        for sub, (c, r) in (("mesh_hand", (scene["root"],
+                                           float(scene["hand_radius"]))),
+                            ("mesh_obj", (scene["obj_center"],
+                                          float(scene["obj_radius"])))):
+            v, fcs = _icosphere(c, r)
+            TriMesh(v, fcs).export(os.path.join(base, sub, key + ".obj"))
+
+    return base
+
+
 def write_synthetic_dataset(root: str, keys: List[str], dataset: str = "obman",
                             n_points: int = 4000, seed: int = 0,
                             image_hw: int = 256, split: str = "train") -> str:

@@ -194,9 +194,9 @@ def _fwd_kernel(static: PixelStatic, trunks_def, seed_ref, pix_ref, emb_ref,
     ah_refs, refs = refs[:n_hidden], refs[n_hidden:]
     ao_refs = refs[:n_hidden] if static.has_obj else []
 
-    xp = pix_ref[0:1, :]
-    yp = pix_ref[1:2, :]
-    mask = pix_ref[2:3, :]
+    xp = pix_ref[0, 0:1, :]
+    yp = pix_ref[0, 1:2, :]
+    mask = pix_ref[0, 2:3, :]
     wext, _, _ = _weight_tile(static, xp, yp, mask, dtype)
 
     # latent = wext^T @ feT: (BLK, C_pad), f32 accumulate
@@ -241,6 +241,18 @@ def _rep_spec(op):
     return pl.BlockSpec(op.shape,
                         partial(lambda nd, i: (0,) * nd, len(op.shape)),
                         memory_space=pltpu.VMEM)
+
+
+def _pix_blocks(pix: jax.Array, block: int) -> jax.Array:
+    """(8, M) -> (M//block, 8, block) so each grid step's pix tile is one
+    leading-index slice (Mosaic lane-divisibility rule)."""
+    m = pix.shape[1]
+    return pix.reshape(8, m // block, block).transpose(1, 0, 2)
+
+
+def _pix_unblocks(pix3: jax.Array) -> jax.Array:
+    nb, _, block = pix3.shape
+    return pix3.transpose(1, 0, 2).reshape(8, nb * block)
 
 
 def _fused_pixel_fwd(static: PixelStatic, trunks, fe, pix, emb, seed):
@@ -292,7 +304,10 @@ def _fused_pixel_fwd(static: PixelStatic, trunks, fe, pix, emb, seed):
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),                 # seed
-            pl.BlockSpec((8, block), lambda i: (0, i),
+            # Mosaic requires the block's lane dim to be 128-divisible OR
+            # equal to the array's: a (n_blocks, 8, block) layout makes the
+            # per-block pix tile exactly one leading-index slice
+            pl.BlockSpec((1, 8, block), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),                 # pix
             pl.BlockSpec((block, emb.shape[1]), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),                 # emb
@@ -304,7 +319,7 @@ def _fused_pixel_fwd(static: PixelStatic, trunks, fe, pix, emb, seed):
         out_shape=out_shapes,
         interpret=static.interpret,
         **_vmem_kwargs(static.interpret),
-    )(seed_arr, pix, emb.astype(dt), fe_k, *ops)
+    )(seed_arr, _pix_blocks(pix, block), emb.astype(dt), fe_k, *ops)
 
     y = outs[0]
     i = 1
@@ -434,9 +449,9 @@ def _bwd_kernel(static: PixelStatic, trunks_def, seed_ref, pix_ref, emb_ref,
     def _init_scene():
         dfe_ref[:] = jnp.zeros_like(dfe_ref)
 
-    xp = pix_ref[0:1, :]
-    yp = pix_ref[1:2, :]
-    mask = pix_ref[2:3, :]
+    xp = pix_ref[0, 0:1, :]
+    yp = pix_ref[0, 1:2, :]
+    mask = pix_ref[0, 2:3, :]
     wext, kx, ky = _weight_tile(static, xp, yp, mask, dtype)
     fe = fe_ref[:].astype(dtype)
     lat = jax.lax.dot_general(wext, fe, (((0,), (0,)), ((), ())),
@@ -482,7 +497,8 @@ def _bwd_kernel(static: PixelStatic, trunks_def, seed_ref, pix_ref, emb_ref,
     w_gy = (gy[:, None, :] * kx[None, :, :]).reshape(hw, static.block) * mask
     dyp = jnp.sum(w_gy * dw, axis=0, keepdims=True)
     r8 = jax.lax.broadcasted_iota(jnp.int32, (8, static.block), 0)
-    dpix_ref[:] = jnp.where(r8 == 0, dxp, 0.0) + jnp.where(r8 == 1, dyp, 0.0)
+    dpix_ref[0] = (jnp.where(r8 == 0, dxp, 0.0)
+                   + jnp.where(r8 == 1, dyp, 0.0))
 
 
 def _fused_pixel_bwd(static: PixelStatic, res, cots):
@@ -533,13 +549,14 @@ def _fused_pixel_bwd(static: PixelStatic, res, cots):
 
     out_shapes = [
         jax.ShapeDtypeStruct(fe.shape, jnp.float32),            # dfeT
-        jax.ShapeDtypeStruct((8, m), jnp.float32),              # dpix
+        jax.ShapeDtypeStruct((m // block, 8, block), jnp.float32),  # dpix
         jax.ShapeDtypeStruct((m, emb.shape[1]), jnp.float32),   # demb
     ]
     out_specs = [
         pl.BlockSpec((hw_ext, c_pad), lambda i: (i // bps, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((8, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 8, block), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
         blk_spec(emb.shape[1]),
     ]
     sh_h, sp_h = d_shapes(trunks_k[0])
@@ -553,12 +570,12 @@ def _fused_pixel_bwd(static: PixelStatic, res, cots):
 
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),                   # seed
-        pl.BlockSpec((8, block), lambda i: (0, i),
+        pl.BlockSpec((1, 8, block), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),                   # pix
         blk_spec(emb.shape[1]),                                  # emb
         blk_spec(8),                                             # dy
     ]
-    operands = [seed_arr, pix, emb, dy]
+    operands = [seed_arr, _pix_blocks(pix, block), emb, dy]
     if static.need_xlast:
         in_specs.append(blk_spec(dx_last.shape[1]))
         operands.append(dx_last)
@@ -586,7 +603,7 @@ def _fused_pixel_bwd(static: PixelStatic, res, cots):
         **_vmem_kwargs(static.interpret),
     )(*operands)
 
-    dfe, dpix, demb = outs[0], outs[1], outs[2]
+    dfe, dpix, demb = outs[0], _pix_unblocks(outs[1]), outs[2]
 
     def unpack_d(chunk, trunk: PixelTrunk):
         it = iter(chunk)
