@@ -384,16 +384,86 @@ def _vmem_kwargs(interpret):
         vmem_limit_bytes=100 * 1024 * 1024)}
 
 
+def _lm_blocks(y_lm: jax.Array, block: int) -> jax.Array:
+    """(8, M) lanes-major -> (M//block, 8, block): each grid step's tile is
+    one leading-index slice (Mosaic requires the block's lane dim to be
+    128-divisible or equal to the array's last dim)."""
+    m = y_lm.shape[1]
+    return y_lm.reshape(8, m // block, block).transpose(1, 0, 2)
+
+
+def _lm_unblocks(y3: jax.Array) -> jax.Array:
+    nb, _, block = y3.shape
+    return y3.transpose(1, 0, 2).reshape(8, nb * block)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
 def fused_branch_scene(static, weights, injects, biases, emb, seed):
     """One trunk on (scenes x points-per-scene) input: weights[0] and the
     inject weights hold only embedding columns; biases[l] is a per-scene
     (B*8, out_pad) row-0-of-8 table for x0-consuming layers, (1, out_pad)
-    otherwise.  Returns (y (M, 8) f32 — 8 live output lanes, cols 0..out_dim
-    valid — and x_last (M, H_pad) f32)."""
+    otherwise.  Returns (y (8, M) f32 LANES-MAJOR — rows 0..out_dim valid —
+    and x_last (M, H_pad) f32).
+
+    Lanes-major y is deliberate: the loss consumes per-branch 1-D columns,
+    and row slices of a dense-lane (8, M) array are free, while the (M, 8)
+    points-major form made XLA materialize ~2 ms/step of pathological 8-lane
+    pad/copy glue for the y slice and its dy cotangent (b128 xplane trace).
+    """
     (y, x_last), _ = _fused_scene_fwd(static, weights, injects, biases, emb,
                                       seed)
     return y, x_last
+
+
+def _fwd_kernel_scene(static, seed_ref, x0_ref, *refs):
+    """The shared layer chain of _fwd_kernel, but the final tanh output is
+    emitted LANES-MAJOR as a (1, 8, BLK) tile: rows = sel @ acc^T (one tiny
+    MXU matmul re-orients the live output columns onto sublanes)."""
+    (n_layers, inject_p, dropout_p, keep, block, cdtype, train, _,
+     need_xlast) = static
+    dtype = jnp.dtype(cdtype)
+    n_inj = sum(inject_p)
+    w_refs, refs = refs[:n_layers], refs[n_layers:]
+    inj_refs, refs = refs[:n_inj], refs[n_inj:]
+    b_refs, refs = refs[:n_layers], refs[n_layers:]
+    sel_ref = refs[0]
+    y_ref = refs[1]
+    xlast_ref = refs[2] if need_xlast else None
+    a_refs = refs[3:] if need_xlast else refs[2:]
+
+    gid = pl.program_id(0)
+    seed = seed_ref[0]
+    inj_it = iter(inj_refs)
+    injs = [next(inj_it) if p else None for p in inject_p]
+
+    x0 = x0_ref[:].astype(dtype)
+    x = x0
+    for layer in range(n_layers):
+        if layer == n_layers - 1 and xlast_ref is not None:
+            xlast_ref[:] = x.astype(jnp.float32)
+        acc = jnp.dot(x, w_refs[layer][:],
+                      preferred_element_type=jnp.float32)
+        if injs[layer] is not None:
+            acc = acc + jnp.dot(x0, injs[layer][:],
+                                preferred_element_type=jnp.float32)
+        acc = acc + b_refs[layer][0:1, :]
+        if layer < n_layers - 1:
+            a_refs[layer][:] = acc.astype(a_refs[layer].dtype)
+            x = jnp.maximum(acc, 0.0)
+            if train and dropout_p[layer]:
+                x = x * _dropout_gate(seed, layer, x.shape[0], x.shape[1],
+                                      keep, gid)
+            x = x.astype(dtype)
+        else:
+            rows = jax.lax.dot_general(
+                sel_ref[:], acc, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)     # (8, BLK)
+            y_ref[0] = jnp.tanh(rows)  # rows >= out_dim are tanh(0) = 0
+
+
+def _sel8(h_last: int) -> jax.Array:
+    return jnp.zeros((8, h_last), jnp.float32).at[
+        jnp.arange(8), jnp.arange(8)].set(1.0)
 
 
 def _fused_scene_fwd(static, weights, injects, biases, emb, seed):
@@ -427,9 +497,9 @@ def _fused_scene_fwd(static, weights, injects, biases, emb, seed):
         return rep_spec(b)
 
     base_static = static[:9]
-    y_w = 8  # live output lanes (out_dim <= 2)
-    out_shapes = [jax.ShapeDtypeStruct((m, y_w), jnp.float32)]
-    out_specs = [pl.BlockSpec((block, y_w), lambda i: (i, 0),
+    sel = _sel8(h_pads[-1])
+    out_shapes = [jax.ShapeDtypeStruct((m // block, 8, block), jnp.float32)]
+    out_specs = [pl.BlockSpec((1, 8, block), lambda i: (i, 0, 0),
                               memory_space=pltpu.VMEM)]
     if need_xlast:
         out_shapes.append(jax.ShapeDtypeStruct((m, h_pads[-2]), jnp.float32))
@@ -442,7 +512,7 @@ def _fused_scene_fwd(static, weights, injects, biases, emb, seed):
                   for i in range(n_layers - 1)]
 
     outs = pl.pallas_call(
-        partial(_fwd_kernel, base_static),
+        partial(_fwd_kernel_scene, base_static),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -451,21 +521,22 @@ def _fused_scene_fwd(static, weights, injects, biases, emb, seed):
             *[rep_spec(w) for w in weights_k],
             *[rep_spec(w) for w in inj_flat],
             *[bias_spec(layer, b) for layer, b in enumerate(biases)],
+            rep_spec(sel),
         ],
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
         **_vmem_kwargs(interpret),
-    )(seed_arr, emb, *weights_k, *inj_flat, *biases)
+    )(seed_arr, emb, *weights_k, *inj_flat, *biases, sel)
 
     if need_xlast:
-        y, x_last, *a_list = outs
+        y3, x_last, *a_list = outs
     else:
-        y, *a_list = outs
+        y3, *a_list = outs
         x_last = jnp.zeros((m, h_pads[-2]), jnp.float32)  # DCE'd by XLA
-    res = (weights_k, injects_k, emb, tuple(a_list), y, seed_arr,
+    res = (weights_k, injects_k, emb, tuple(a_list), y3, seed_arr,
            tuple(b.shape for b in biases))
-    return (y, x_last), res
+    return (_lm_unblocks(y3), x_last), res
 
 
 def _bwd_kernel_scene(static, seed_ref, emb_ref, dy_ref, *refs):
@@ -529,11 +600,12 @@ def _bwd_kernel_scene(static, seed_ref, emb_ref, dy_ref, *refs):
                                    (((0,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32)
 
-    # y/dy carry only 8 live lanes; embed the 8-wide tanh' product back to
-    # the padded output width with one tiny (BLK, 8) x (8, h) matmul
-    y8 = y_ref[:]
-    dpre8 = dy_ref[:] * (1.0 - y8 * y8)
-    dpre = jnp.dot(dpre8, sel_ref[:], preferred_element_type=jnp.float32)
+    # y/dy arrive LANES-MAJOR (1, 8, BLK); the tanh' product re-embeds into
+    # the padded output width with one tiny (8, BLK)^T x (8, h) matmul
+    y8 = y_ref[0]
+    g_lm = dy_ref[0] * (1.0 - y8 * y8)
+    dpre = jax.lax.dot_general(g_lm, sel_ref[:], (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
     demb_acc = jnp.zeros_like(x0, dtype=jnp.float32)
     row0 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0) == 0
     for layer in range(n_layers - 1, -1, -1):
@@ -562,8 +634,9 @@ def _bwd_kernel_scene(static, seed_ref, emb_ref, dy_ref, *refs):
 def _fused_scene_bwd(static, res, cots):
     (n_layers, inject_p, dropout_p, keep, block, cdtype, train, interpret,
      need_xlast, bps, scene_bias) = static
-    weights, injects, emb, a_list, y, seed_arr, bias_shapes = res
-    dy, dx_last = cots
+    weights, injects, emb, a_list, y3, seed_arr, bias_shapes = res
+    dy_lm, dx_last = cots   # dy arrives lanes-major (8, M), dense lanes
+    dy3 = _lm_blocks(dy_lm, block)
     m = emb.shape[0]
     emb_pad = emb.shape[1]
     inj_flat = [w for w in injects if w is not None]
@@ -615,8 +688,9 @@ def _fused_scene_bwd(static, res, cots):
     )
 
     h_last = weights[-1].shape[1]
-    sel = jnp.zeros((8, h_last), jnp.float32).at[
-        jnp.arange(8), jnp.arange(8)].set(1.0)
+    sel = _sel8(h_last)
+    lm_spec = pl.BlockSpec((1, 8, block), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
 
     outs = pl.pallas_call(
         partial(_bwd_kernel_scene, static),
@@ -624,20 +698,20 @@ def _fused_scene_bwd(static, res, cots):
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             blk_spec(emb_pad),
-            blk_spec(dy.shape[1]),
+            lm_spec,                                # dy (nb, 8, block)
             *([blk_spec(dx_last.shape[1])] if need_xlast else []),
             *[rep_spec(w) for w in weights],
             *[rep_spec(w) for w in inj_flat],
             *[blk_spec(a.shape[1]) for a in a_list],
-            blk_spec(y.shape[1]),
+            lm_spec,                                # y (nb, 8, block)
             rep_spec(sel),
         ],
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
         **_vmem_kwargs(interpret),
-    )(seed_arr, emb, dy, *([dx_last] if need_xlast else []),
-      *weights, *inj_flat, *a_list, y, sel)
+    )(seed_arr, emb, dy3, *([dx_last] if need_xlast else []),
+      *weights, *inj_flat, *a_list, y3, sel)
 
     demb = outs[0]
     dws = tuple(outs[1:1 + n_layers])
@@ -764,6 +838,10 @@ def make_fused_train_decoder_factored(specs: Specs,
         logits = x_last[:, :cw.shape[0]] @ cw + cb
         return logits.astype(jnp.float32)
 
+    # y comes back lanes-major (8, M); row slices are free and the losses
+    # flatten to 1-D anyway, so decode returns 1-D (M,) sdf columns — the
+    # (M, 1) points-major form cost ~2 ms/step of 8-lane pad/copy glue for
+    # the slice + dy cotangent (xplane, BASELINE.md round 4)
     if combined:
         def decode(decoder_params, latent, emb, seed, train=True):
             trunk = decoder_params["trunk"]
@@ -771,7 +849,7 @@ def make_fused_train_decoder_factored(specs: Specs,
                                    train, need_xlast=specs.classifier_branch)
             logits = (classifier_apply(trunk, x_last)
                       if specs.classifier_branch else None)
-            return y[:, 0:1], y[:, 1:2], logits
+            return y[0], y[1], logits
 
         decode.factored = True
         return decode
@@ -784,7 +862,7 @@ def make_fused_train_decoder_factored(specs: Specs,
         y_o, _ = run_branch(decoder_params["obj"], "lino", cols_o, 1, latent,
                             emb, seed + 1, train)
         logits = classifier_apply(hand, x_last) if need_cls else None
-        return y_h[:, 0:1], y_o[:, 0:1], logits
+        return y_h[0], y_o[0], logits
 
     decode.factored = True
     return decode

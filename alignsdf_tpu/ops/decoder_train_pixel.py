@@ -50,6 +50,8 @@ from alignsdf_tpu.ops.decoder_kernel import (
 )
 from alignsdf_tpu.ops.decoder_train_kernel import (
     _dropout_gate,
+    _lm_blocks,
+    _lm_unblocks,
     _scene_block,
     _vmem_kwargs,
 )
@@ -63,6 +65,20 @@ def _keys_cubic_grad(t: jax.Array) -> jax.Array:
     far = a * ((3.0 * s - 10.0) * s + 8.0)
     mag = jnp.where(s <= 1.0, near, jnp.where(s < 2.0, far, 0.0))
     return jnp.sign(t) * mag
+
+
+def _sels(static, trunks):
+    """Output-selection one-hots: sel_h embeds the hand trunk's live output
+    columns into y rows 0..out_h-1; sel_o the obj trunk's column into row 1."""
+    h_last = trunks[0].biases[-1].shape[1]
+    out_h = 2 if static.combined else 1
+    sel_h = jnp.zeros((8, h_last), jnp.float32)
+    sel_h = sel_h.at[jnp.arange(out_h), jnp.arange(out_h)].set(1.0)
+    sels = [sel_h]
+    if static.has_obj:
+        h_last_o = trunks[1].biases[-1].shape[1]
+        sels.append(jnp.zeros((8, h_last_o), jnp.float32).at[1, 0].set(1.0))
+    return sels
 
 
 class PixelStatic(NamedTuple):
@@ -186,6 +202,10 @@ def _fwd_kernel(static: PixelStatic, trunks_def, seed_ref, pix_ref, emb_ref,
     trunk_o = None
     if static.has_obj:
         trunk_o, refs = _split_trunk_refs(static, refs, trunks_def[1])
+    sel_h_ref, refs = refs[0], refs[1:]
+    sel_o_ref = None
+    if static.has_obj:
+        sel_o_ref, refs = refs[0], refs[1:]
     y_ref = refs[0]
     refs = refs[1:]
     xlast_ref = None
@@ -208,18 +228,18 @@ def _fwd_kernel(static: PixelStatic, trunks_def, seed_ref, pix_ref, emb_ref,
 
     acc_h = _trunk_forward(static, trunk_h, lat, emb, seed, gid, ah_refs,
                            xlast_ref, 0)
-    lane8 = jax.lax.broadcasted_iota(jnp.int32, (static.block, 8), 1)
-    if static.combined:
-        y = jnp.where(lane8 < 2, jnp.tanh(acc_h[:, :8]), 0.0)
-    else:
-        y = jnp.where(lane8 == 0, jnp.tanh(acc_h[:, :8]), 0.0)
-        if static.has_obj:
-            acc_o = _trunk_forward(static, trunk_o, lat, emb, seed, gid,
-                                   ao_refs, None, static.n_layers)
-            y = y + jnp.where(lane8 == 1,
-                              pltpu.roll(jnp.tanh(acc_o[:, :8]), shift=1,
-                                         axis=1), 0.0)
-    y_ref[:] = y
+    # LANES-MAJOR output: sel re-orients the live output columns onto
+    # sublanes with one tiny MXU matmul (rows of sel are disjoint per trunk;
+    # unused rows give tanh(0) = 0)
+    rows = jax.lax.dot_general(sel_h_ref[:], acc_h, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    if static.has_obj:
+        acc_o = _trunk_forward(static, trunk_o, lat, emb, seed, gid,
+                               ao_refs, None, static.n_layers)
+        rows = rows + jax.lax.dot_general(
+            sel_o_ref[:], acc_o, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    y_ref[0] = jnp.tanh(rows)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -231,7 +251,10 @@ def fused_pixel_decoder(static: PixelStatic, trunks, fe, pix, emb, seed):
          each scene's band holding the mean feature;
     pix: (8, M) f32 — rows 0/1/2 = x-pixel, y-pixel, in-image mask;
     emb: (M, emb_pad) embedding columns.
-    Returns (y (M, 8) f32 — col 0 hand sdf, col 1 obj —, x_last (M, h) f32).
+    Returns (y (8, M) f32 LANES-MAJOR — row 0 hand sdf, row 1 obj —, x_last
+    (M, h) f32); row slices of the dense-lane (8, M) form are free where the
+    (M, 8) form made XLA materialize ~2 ms/step of 8-lane pad/copy glue per
+    trunk for the y slice and dy cotangent (BASELINE.md round 4).
     """
     (y, x_last), _ = _fused_pixel_fwd(static, trunks, fe, pix, emb, seed)
     return y, x_last
@@ -280,12 +303,13 @@ def _fused_pixel_fwd(static: PixelStatic, trunks, fe, pix, emb, seed):
     ops = _flatten_trunk(trunks_k[0])
     if static.has_obj:
         ops += _flatten_trunk(trunks_k[1])
+    ops += _sels(static, trunks_k)
 
     h_pads = [b.shape[1] for b in trunks[0].biases]
     grid = (m // block,)
 
-    out_shapes = [jax.ShapeDtypeStruct((m, 8), jnp.float32)]
-    out_specs = [pl.BlockSpec((block, 8), lambda i: (i, 0),
+    out_shapes = [jax.ShapeDtypeStruct((m // block, 8, block), jnp.float32)]
+    out_specs = [pl.BlockSpec((1, 8, block), lambda i: (i, 0, 0),
                               memory_space=pltpu.VMEM)]
     if static.need_xlast:
         out_shapes.append(jax.ShapeDtypeStruct((m, h_pads[-2]), jnp.float32))
@@ -321,15 +345,15 @@ def _fused_pixel_fwd(static: PixelStatic, trunks, fe, pix, emb, seed):
         **_vmem_kwargs(static.interpret),
     )(seed_arr, _pix_blocks(pix, block), emb.astype(dt), fe_k, *ops)
 
-    y = outs[0]
+    y3 = outs[0]
     i = 1
     if static.need_xlast:
         x_last, i = outs[1], 2
     else:
         x_last = jnp.zeros((m, h_pads[-2]), jnp.float32)  # DCE'd by XLA
     a_list = tuple(outs[i:i + n_res])
-    res = (trunks_k, fe_k, pix, emb.astype(dt), a_list, y, seed_arr)
-    return (y, x_last), res
+    res = (trunks_k, fe_k, pix, emb.astype(dt), a_list, y3, seed_arr)
+    return (_lm_unblocks(y3), x_last), res
 
 
 def _trunk_backward(static: PixelStatic, trunk_refs, d_refs, a_refs, lat, emb,
@@ -458,18 +482,21 @@ def _bwd_kernel(static: PixelStatic, trunks_def, seed_ref, pix_ref, emb_ref,
                               preferred_element_type=jnp.float32).astype(dtype)
     emb = emb_ref[:].astype(dtype)
 
-    # split the 8-lane dy into per-trunk last-layer cotangents
-    y8 = y_ref[:]
-    dpre8 = dy_ref[:] * (1.0 - y8 * y8)               # (BLK, 8)
-    dpre_h = jnp.dot(dpre8, sel_h_ref[:], preferred_element_type=jnp.float32)
+    # split the lanes-major dy rows into per-trunk last-layer cotangents
+    y8 = y_ref[0]                                     # (8, BLK)
+    g_lm = dy_ref[0] * (1.0 - y8 * y8)
+    dpre_h = jax.lax.dot_general(g_lm, sel_h_ref[:],
+                                 (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
     dlat_h, demb_h = _trunk_backward(static, trunk_h, d_h, ah_refs, lat, emb,
                                      dpre_h, dxlast_in[:] if dxlast_in is not
                                      None else None, seed, gid, 0)
     dlat = dlat_h
     demb = demb_h
     if static.has_obj:
-        dpre_o = jnp.dot(dpre8, sel_o_ref[:],
-                         preferred_element_type=jnp.float32)
+        dpre_o = jax.lax.dot_general(g_lm, sel_o_ref[:],
+                                     (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
         dlat_o, demb_o = _trunk_backward(static, trunk_o, d_o, ao_refs, lat,
                                          emb, dpre_o, None, seed, gid,
                                          static.n_layers)
@@ -502,9 +529,10 @@ def _bwd_kernel(static: PixelStatic, trunks_def, seed_ref, pix_ref, emb_ref,
 
 
 def _fused_pixel_bwd(static: PixelStatic, res, cots):
-    trunks_k, fe, pix, emb, a_list, y, seed_arr = res
-    dy, dx_last = cots
+    trunks_k, fe, pix, emb, a_list, y3, seed_arr = res
+    dy_lm, dx_last = cots   # dy arrives lanes-major (8, M), dense lanes
     m = emb.shape[0]
+    dy3 = _lm_blocks(dy_lm, static.block)
     block, bps = static.block, static.bps
     hw_ext = static.hf * static.wf + 128
     c_pad = fe.shape[1]
@@ -516,15 +544,7 @@ def _fused_pixel_bwd(static: PixelStatic, res, cots):
     if static.has_obj:
         ops += _flatten_trunk(trunks_k[1])
 
-    h_last = trunks_k[0].biases[-1].shape[1]
-    sel_h = jnp.zeros((8, h_last), jnp.float32)
-    out_h = 2 if static.combined else 1
-    sel_h = sel_h.at[jnp.arange(out_h), jnp.arange(out_h)].set(1.0)
-    sels = [sel_h]
-    if static.has_obj:
-        h_last_o = trunks_k[1].biases[-1].shape[1]
-        sel_o = jnp.zeros((8, h_last_o), jnp.float32).at[1, 0].set(1.0)
-        sels.append(sel_o)
+    sels = _sels(static, trunks_k)
 
     def d_shapes(trunk: PixelTrunk):
         shapes, specs = [], []
@@ -568,14 +588,15 @@ def _fused_pixel_bwd(static: PixelStatic, res, cots):
         out_shapes += sh_o
         out_specs += sp_o
 
+    lm_spec = pl.BlockSpec((1, 8, block), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),                   # seed
-        pl.BlockSpec((1, 8, block), lambda i: (i, 0, 0),
-                     memory_space=pltpu.VMEM),                   # pix
+        lm_spec,                                                 # pix
         blk_spec(emb.shape[1]),                                  # emb
-        blk_spec(8),                                             # dy
+        lm_spec,                                                 # dy
     ]
-    operands = [seed_arr, _pix_blocks(pix, block), emb, dy]
+    operands = [seed_arr, _pix_blocks(pix, block), emb, dy3]
     if static.need_xlast:
         in_specs.append(blk_spec(dx_last.shape[1]))
         operands.append(dx_last)
@@ -588,8 +609,8 @@ def _fused_pixel_bwd(static: PixelStatic, res, cots):
         in_specs += [blk_spec(a_list[t * n_hidden + i].shape[1])
                      for i in range(n_hidden)]
         operands += list(a_list[t * n_hidden:(t + 1) * n_hidden])
-    in_specs.append(blk_spec(8))                                 # y
-    operands.append(y)
+    in_specs.append(lm_spec)                                     # y
+    operands.append(y3)
     in_specs += [_rep_spec(s) for s in sels]
     operands += sels
 
@@ -753,7 +774,9 @@ def make_fused_train_decoder_pixel(specs: Specs,
             bps, hf, wf, combined, not combined)
         y, x_last = fused_pixel_decoder(static, trunks, fe, pix, emb_in, seed)
         logits = classifier_apply(trunk_params, x_last) if need_cls else None
-        return y[:, 0:1], y[:, 1:2], logits
+        # y is lanes-major (8, M): row slices are free, and the losses
+        # flatten to 1-D anyway
+        return y[0], y[1], logits
 
     decode.pixel = True
     decode.block = block

@@ -50,11 +50,15 @@ def bench_train():
     from alignsdf_tpu.training.train_step import init_train_state, make_train_step
     from alignsdf_tpu.data.synthetic import synthetic_train_batch
 
+    b = 64
+    for a in sys.argv:
+        if a.startswith("--batch="):  # per-chip batch (global batch is a
+            b = int(a.split("=")[1])  # cluster-level choice; BASELINE.md r4)
     specs = SP(
         dataset="obman", sdf_scale_factor=7.018621123357809,
         mano_branch=True, object_pose_branch=True, encode_style="both",
         point_feat_size=9, penetration_loss=True, contact_loss=True,
-        scenes_per_batch=64, hand_sdf_weight=0.5, obj_sdf_weight=0.5,
+        scenes_per_batch=b, hand_sdf_weight=0.5, obj_sdf_weight=0.5,
         joint_weight=0.5, shape_reg_weight=5e-7, pose_reg_weight=5e-5,
         network_specs=NS(),
         pixel_align="--pixel" in sys.argv,  # reference --pa_feat family
@@ -87,7 +91,6 @@ def bench_train():
     for a in sys.argv:
         if a.startswith("--multistep="):
             ms = int(a.split("=")[1])
-    b = specs.scenes_per_batch
     batch = {k: jnp.asarray(v) for k, v in synthetic_train_batch(specs, batch_size=b).items()}
     # the production loader ships uint8 images normalized on device
     # (data/loader.py raw_image=True path); feed the bench the same way

@@ -178,17 +178,23 @@ class TestFactored:
     def test_eval_forward_matches_xla(self, fsetup):
         dec, params, latent, emb, x, fac, _ = fsetup
         h1, o1, c1 = dec.apply({"params": params}, x, train=False)
+        # factored decode returns 1-D sdf columns (lanes-major y rows)
         h2, o2, c2 = fac(params, latent, emb, jnp.int32(3), train=False)
-        np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), atol=2e-6)
-        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=2e-6)
+        assert h2.ndim == 1 and o2.ndim == 1
+        np.testing.assert_allclose(np.asarray(h1).ravel(), np.asarray(h2),
+                                   atol=2e-6)
+        np.testing.assert_allclose(np.asarray(o1).ravel(), np.asarray(o2),
+                                   atol=2e-6)
         np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=1e-5)
 
     def test_train_forward_matches_generic_kernel(self, fsetup):
         _, params, latent, emb, x, fac, gen = fsetup
         h1, o1, c1 = gen(params, x, jnp.int32(7), train=True)
         h2, o2, c2 = fac(params, latent, emb, jnp.int32(7), train=True)
-        np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), atol=2e-6)
-        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=2e-6)
+        np.testing.assert_allclose(np.asarray(h1).ravel(), np.asarray(h2),
+                                   atol=2e-6)
+        np.testing.assert_allclose(np.asarray(o1).ravel(), np.asarray(o2),
+                                   atol=2e-6)
         np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=1e-5)
 
     def test_grads_match_generic_kernel(self, fsetup):

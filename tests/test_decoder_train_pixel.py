@@ -83,10 +83,14 @@ def test_eval_forward_matches_xla(setup):
     specs, dec, params, fmap, emb, xyz, cam_intr, pred_root, fused = setup
     h1, o1, c1 = _xla_pixel_forward(specs, dec, params, fmap, emb, xyz,
                                     cam_intr, pred_root)
+    # fused decode returns 1-D sdf columns (lanes-major y rows)
     h2, o2, c2 = fused(params, fmap, emb, xyz, cam_intr, pred_root,
                        jnp.int32(3), train=False)
-    np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), atol=2e-6)
-    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=2e-6)
+    assert h2.ndim == 1 and o2.ndim == 1
+    np.testing.assert_allclose(np.asarray(h1).ravel(), np.asarray(h2),
+                               atol=2e-6)
+    np.testing.assert_allclose(np.asarray(o1).ravel(), np.asarray(o2),
+                               atol=2e-6)
     np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=1e-5)
 
 
@@ -207,8 +211,10 @@ def test_combined_decoder(setup):
                                     cam_intr, pred_root)
     h2, o2, c2 = fused(params, fmap, emb, xyz, cam_intr, pred_root,
                        jnp.int32(3), train=False)
-    np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), atol=2e-6)
-    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(h1).ravel(), np.asarray(h2),
+                               atol=2e-6)
+    np.testing.assert_allclose(np.asarray(o1).ravel(), np.asarray(o2),
+                               atol=2e-6)
     np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=1e-5)
 
 
