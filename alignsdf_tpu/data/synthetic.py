@@ -90,6 +90,38 @@ def _icosphere(center, radius: float, subdiv: int = 3):
     return (verts * radius + np.asarray(center)).astype(np.float32), faces
 
 
+_MANO_CACHE: Dict[str, object] = {}
+
+
+def _mano_joints(pose_coeffs: np.ndarray) -> np.ndarray:
+    """(1, 3+ncomps) pose -> (21, 3) joints centered at the root, via the
+    real MANO layer on the CPU backend (flagship convention: ncomps 15,
+    center_idx 0 — models/manobranch.py)."""
+    import jax
+
+    from alignsdf_tpu.mano.layer import load_mano_model, mano_forward
+
+    if "model" not in _MANO_CACHE:
+        _MANO_CACHE["model"] = load_mano_model(side="right", ncomps=15)
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+    ctx = jax.default_device(cpu) if cpu is not None else _nullcontext()
+    with ctx:
+        out = mano_forward(_MANO_CACHE["model"],
+                           jax.numpy.asarray(pose_coeffs), center_idx=0)
+        return np.asarray(out.joints[0], np.float32)
+
+
+class _nullcontext:
+    def __enter__(self):
+        return None
+
+    def __exit__(self, *a):
+        return False
+
+
 def write_geometric_dataset(root: str, keys: List[str],
                             dataset: str = "obman", n_points: int = 8000,
                             seed: int = 0, image_hw: int = 256,
@@ -166,10 +198,14 @@ def write_geometric_dataset(root: str, keys: List[str],
                                                             np.uint8)
             np.savez(os.path.join(base, sub, key + ".npz"), **blocks)
 
-        # meta in the stored (pre-flip) frame: work = flip @ stored
-        joints_w = scene["root"] + np.concatenate(
-            [np.zeros((1, 3), np.float32),
-             rng.randn(20, 3).astype(np.float32) * 0.03])
+        # meta in the stored (pre-flip) frame: work = flip @ stored.
+        # GT joints come from a real MANO forward pass (small random PCA
+        # pose, zero shape) so the MANO branch can actually FIT them — the
+        # joint error of an overfit run then converges instead of flooring
+        # at the distance to unrealizable targets
+        pose = np.zeros((1, 18), np.float32)
+        pose[0, 3:] = rng.randn(15).astype(np.float32) * 0.3
+        joints_w = scene["root"] + _mano_joints(pose)
         obj_pts_w = np.concatenate(
             [scene["obj_center"][None],
              scene["obj_center"] + corner_offsets * scene["obj_radius"]])
