@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import os
 import pickle
+import zlib
 from typing import Dict, List
 
 import numpy as np
@@ -45,8 +46,12 @@ def synthetic_train_batch(specs: Specs, batch_size: int = 2,
 def geometric_scene_params(key: str, seed: int = 0) -> Dict[str, np.ndarray]:
     """Deterministic per-scene geometry for the geometric dataset: hand and
     object spheres in the WORK frame (camera frame after the ObMan extrinsic
-    flip — the frame meta joints land in after `cam_extr @ coords_3d`)."""
-    rng = np.random.RandomState((hash(key) ^ seed) & 0x7FFFFFFF)
+    flip — the frame meta joints land in after `cam_extr @ coords_3d`).
+
+    crc32, not hash(): Python's hash() is salted per process, which would
+    make the dataset irreproducible across runs."""
+    rng = np.random.RandomState(
+        (zlib.crc32(key.encode()) ^ seed) & 0x7FFFFFFF)
     root = np.array([0.0, 0.0, 0.55], np.float32) + rng.uniform(
         -0.04, 0.04, 3).astype(np.float32)
     direction = rng.randn(3).astype(np.float32)
@@ -125,7 +130,9 @@ class _nullcontext:
 def write_geometric_dataset(root: str, keys: List[str],
                             dataset: str = "obman", n_points: int = 8000,
                             seed: int = 0, image_hw: int = 256,
-                            split: str = "train") -> str:
+                            split: str = "train",
+                            sdf_scale_factor: float = 7.018621123357809,
+                            ) -> str:
     """A dataset with ANALYTICALLY KNOWN geometry in the reference layout:
     per scene, the hand is a sphere at the MANO root and the object a sphere
     at a nearby offset; SDF samples carry the exact sphere signed distances
@@ -157,7 +164,8 @@ def write_geometric_dataset(root: str, keys: List[str],
 
     for key in keys:
         scene = geometric_scene_params(key, seed)
-        rng = np.random.RandomState((hash(key) ^ seed ^ 0x5A17) & 0x7FFFFFFF)
+        rng = np.random.RandomState(
+            (zlib.crc32(key.encode()) ^ seed ^ 0x5A17) & 0x7FFFFFFF)
         img = (rng.rand(image_hw, image_hw, 3) * 255).astype(np.uint8)
         cv2.imwrite(os.path.join(base, "rgb", key + ".jpg"), img[:, :, ::-1])
         np.savez(os.path.join(base, "norm", key + ".npz"),
@@ -227,12 +235,17 @@ def write_geometric_dataset(root: str, keys: List[str],
         with open(os.path.join(base, "meta", key + ".pkl"), "wb") as f:
             pickle.dump(meta, f)
 
+        # GT meshes live in the HALF-SCALED DECODER frame, like the reference
+        # datasets' eval meshes: the reference exports reconstructions with
+        # scale=None/offset=None (reconstruct.py:93 -> utils/mesh.py:126) and
+        # chamfers them directly against mesh_hand/mesh_obj (evaluate.py:53)
         for sub, (c, r) in (("mesh_hand", (scene["root"],
                                            float(scene["hand_radius"]))),
                             ("mesh_obj", (scene["obj_center"],
                                           float(scene["obj_radius"])))):
             v, fcs = _icosphere(c, r)
-            TriMesh(v, fcs).export(os.path.join(base, sub, key + ".obj"))
+            v_dec = (v - scene["root"]) * (sdf_scale_factor / 2.0)
+            TriMesh(v_dec, fcs).export(os.path.join(base, sub, key + ".obj"))
 
     return base
 
