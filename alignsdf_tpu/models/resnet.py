@@ -270,6 +270,26 @@ class StemConv(nn.Module):
             ((2, 1), (2, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
+# Pallas separable pool (ops/maxpool): stride-2 selections as leading-dim
+# pair reshapes (the Mosaic-supported de-interleave form).  Toggle measured
+# in BASELINE.md; tie semantics deviate from select-and-scatter (every tied
+# position gets the gradient — measure-zero for continuous activations).
+PALLAS_POOL = False
+
+
+def _pool(x: jax.Array) -> jax.Array:
+    if PALLAS_POOL:
+        from alignsdf_tpu.ops.maxpool import maxpool_k3s2p1
+
+        # interpret on CPU — including under a jax.default_device(cpu)
+        # context (init_train_state traces the init there)
+        dev = jax.config.jax_default_device
+        interpret = (dev.platform == "cpu" if dev is not None
+                     else jax.default_backend() == "cpu")
+        return maxpool_k3s2p1(x, interpret)
+    return _max_pool_3x3s2(x)
+
+
 @jax.custom_vjp
 def _max_pool_3x3s2(x: jax.Array) -> jax.Array:
     """max_pool 3x3/s2/p1 with the input pinned as the VJP residual.
@@ -277,9 +297,9 @@ def _max_pool_3x3s2(x: jax.Array) -> jax.Array:
     Identical gradient to plain autodiff (the backward IS jax's own
     reduce_window transpose on the saved tensor).  Measured alternatives
     (BASELINE.md): a parity-decomposed compare-and-accumulate backward was
-    ~2 ms SLOWER (stride-2 slices/scatters relayout poorly on TPU), and a
-    Pallas version hits an unsupported Mosaic interleave reshape — XLA's
-    select-and-scatter stays.
+    ~2 ms SLOWER (stride-2 slices/scatters relayout poorly on TPU), and the
+    round-3 Pallas attempt hit an unsupported Mosaic interleave reshape —
+    round 4's ops/maxpool.py found the supported form (PALLAS_POOL toggle).
     """
     return nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
@@ -393,7 +413,7 @@ class ResNetEncoder(nn.Module):
         x = StemConv(64, name="conv1", dtype=self.dtype)(x)
         x = TorchBatchNorm(name="bn1")(x, train)
         x = nn.relu(x)
-        x = _max_pool_3x3s2(x)
+        x = _pool(x)
 
         in_features = 64
         for stage, (features, blocks) in enumerate(
