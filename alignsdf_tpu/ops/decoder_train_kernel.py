@@ -553,11 +553,20 @@ def _bwd_kernel_scene(static, seed_ref, emb_ref, dy_ref, *refs):
     a_refs, refs = refs[:n_layers - 1], refs[n_layers - 1:]
     y_ref = refs[0]
     sel_ref = refs[1]   # (8, h_last) lane-embedding eye
+    n_scene = sum(scene_bias)
     out_refs = refs[2:]
     demb_ref = out_refs[0]
     dw_refs = out_refs[1:1 + n_layers]
     dinj_refs = out_refs[1 + n_layers:1 + n_layers + n_inj]
-    db_refs = out_refs[1 + n_layers + n_inj:]
+    db_refs = out_refs[1 + n_layers + n_inj:1 + 2 * n_layers + n_inj]
+    # per-scene db tables accumulate in SCRATCH, flushed to their revisited
+    # output windows once per scene group: read-modify-write of a revisited
+    # output window is silently wrong on real Mosaic (measured on the pixel
+    # kernel: bps=1 exact, bps=2 ~3% off; interpret mode cannot catch it).
+    # Global accumulators (constant index windows) are unaffected.
+    scr_it = iter(out_refs[1 + 2 * n_layers + n_inj:])
+    db_accs = [next(scr_it) if scene_bias[layer] else None
+               for layer in range(n_layers)]
 
     gid = pl.program_id(0)
     seed = seed_ref[0]
@@ -572,9 +581,9 @@ def _bwd_kernel_scene(static, seed_ref, emb_ref, dy_ref, *refs):
 
     @pl.when(gid % bps == 0)
     def _init_scene():
-        for layer, r in enumerate(db_refs):
-            if scene_bias[layer]:
-                r[:] = jnp.zeros_like(r)
+        for acc in db_accs:
+            if acc is not None:
+                acc[:] = jnp.zeros_like(acc)
 
     inj_it = iter(inj_refs)
     injs = [next(inj_it) if p else None for p in inject_p]
@@ -612,7 +621,8 @@ def _bwd_kernel_scene(static, seed_ref, emb_ref, dy_ref, *refs):
         x_l = xs[layer]
         dw_refs[layer][:] += mm_t_lhs(x_l, dpre)
         dsum = jnp.sum(dpre, axis=0, keepdims=True)
-        db_refs[layer][:] += jnp.where(row0, dsum, 0.0)
+        db_dst = db_accs[layer] if scene_bias[layer] else db_refs[layer]
+        db_dst[:] += jnp.where(row0, dsum, 0.0)
         if dinjs[layer] is not None:
             dinjs[layer][:] += mm_t_lhs(x0, dpre)
             demb_acc = demb_acc + jax.lax.dot_general(
@@ -629,6 +639,12 @@ def _bwd_kernel_scene(static, seed_ref, emb_ref, dy_ref, *refs):
         else:
             demb_acc = demb_acc + dx
     demb_ref[:] = demb_acc
+
+    @pl.when(gid % bps == bps - 1)
+    def _flush_scene():
+        for layer, acc in enumerate(db_accs):
+            if acc is not None:
+                db_refs[layer][:] = acc[:]
 
 
 def _fused_scene_bwd(static, res, cots):
@@ -708,6 +724,8 @@ def _fused_scene_bwd(static, res, cots):
         ],
         out_specs=out_specs,
         out_shape=out_shapes,
+        scratch_shapes=[pltpu.VMEM((8, bias_shapes[layer][1]), jnp.float32)
+                        for layer in range(n_layers) if scene_bias[layer]],
         interpret=interpret,
         **_vmem_kwargs(interpret),
     )(seed_arr, emb, dy3, *([dx_last] if need_xlast else []),

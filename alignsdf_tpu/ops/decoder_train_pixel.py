@@ -42,7 +42,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from alignsdf_tpu.config import Specs
 from alignsdf_tpu.ops.decoder_kernel import (
-    _classifier_pad,
     _keys_cubic,
     _round_up,
     branch_columns,
@@ -262,7 +261,7 @@ def fused_pixel_decoder(static: PixelStatic, trunks, fe, pix, emb, seed):
 
 def _rep_spec(op):
     return pl.BlockSpec(op.shape,
-                        partial(lambda nd, i: (0,) * nd, len(op.shape)),
+                        partial(lambda nd, *idx: (0,) * nd, len(op.shape)),
                         memory_space=pltpu.VMEM)
 
 
@@ -414,7 +413,9 @@ def _bwd_kernel(static: PixelStatic, trunks_def, seed_ref, pix_ref, emb_ref,
                 dy_ref, *refs):
     n_hidden = static.n_layers - 1
     dtype = jnp.dtype(static.cdtype)
-    gid = pl.program_id(0)
+    # 2-D (scene, block-in-scene) grid; gid = the global block index so the
+    # dropout-gate rows match the 1-D forward grid exactly
+    gid = pl.program_id(0) * static.bps + pl.program_id(1)
     seed = seed_ref[0]
     hw = static.hf * static.wf
 
@@ -461,6 +462,12 @@ def _bwd_kernel(static: PixelStatic, trunks_def, seed_ref, pix_ref, emb_ref,
     d_h = take_d()
     d_o = take_d() if static.has_obj else None
 
+    # dfe accumulates directly into its per-scene output window, revisited
+    # across the MINORMOST grid dimension of a 2-D (scene, block-in-scene)
+    # grid with affine index maps — Mosaic's canonical reduction idiom.  A
+    # 1-D grid with an i//bps output map silently corrupts the accumulation
+    # (measured: bps=1 exact, bps=2 ~3% off; interpret mode cannot catch
+    # it), and scratch/extra-window workarounds crash the compile helper.
     @pl.when(gid == 0)
     def _init():
         for group in (d_h,) + ((d_o,) if static.has_obj else ()):
@@ -469,7 +476,7 @@ def _bwd_kernel(static: PixelStatic, trunks_def, seed_ref, pix_ref, emb_ref,
                     if r is not None:
                         r[:] = jnp.zeros_like(r)
 
-    @pl.when(gid % static.bps == 0)
+    @pl.when(pl.program_id(1) == 0)
     def _init_scene():
         dfe_ref[:] = jnp.zeros_like(dfe_ref)
 
@@ -537,7 +544,10 @@ def _fused_pixel_bwd(static: PixelStatic, res, cots):
     hw_ext = static.hf * static.wf + 128
     c_pad = fe.shape[1]
     n_hidden = static.n_layers - 1
-    grid = (m // block,)
+    # 2-D (scene, block-in-scene) grid: dfe revisits its per-scene output
+    # window across the minormost dim with affine index maps (the canonical
+    # Mosaic reduction idiom — see _bwd_kernel note)
+    grid = (m // block // bps, bps)
     x0l = _x0_layers(static)
 
     ops = _flatten_trunk(trunks_k[0])
@@ -564,8 +574,12 @@ def _fused_pixel_bwd(static: PixelStatic, res, cots):
             specs.append(_rep_spec(jnp.zeros((8, b.shape[1]))))
         return shapes, specs
 
-    blk_spec = lambda w: pl.BlockSpec((block, w), lambda i: (i, 0),  # noqa: E731
+    blk_spec = lambda w: pl.BlockSpec((block, w),  # noqa: E731
+                                      lambda i, j: (i * bps + j, 0),
                                       memory_space=pltpu.VMEM)
+    lm3 = lambda: pl.BlockSpec((1, 8, block),  # noqa: E731
+                               lambda i, j: (i * bps + j, 0, 0),
+                               memory_space=pltpu.VMEM)
 
     out_shapes = [
         jax.ShapeDtypeStruct(fe.shape, jnp.float32),            # dfeT
@@ -573,10 +587,9 @@ def _fused_pixel_bwd(static: PixelStatic, res, cots):
         jax.ShapeDtypeStruct((m, emb.shape[1]), jnp.float32),   # demb
     ]
     out_specs = [
-        pl.BlockSpec((hw_ext, c_pad), lambda i: (i // bps, 0),
+        pl.BlockSpec((hw_ext, c_pad), lambda i, j: (i, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 8, block), lambda i: (i, 0, 0),
-                     memory_space=pltpu.VMEM),
+        lm3(),
         blk_spec(emb.shape[1]),
     ]
     sh_h, sp_h = d_shapes(trunks_k[0])
@@ -588,19 +601,17 @@ def _fused_pixel_bwd(static: PixelStatic, res, cots):
         out_shapes += sh_o
         out_specs += sp_o
 
-    lm_spec = pl.BlockSpec((1, 8, block), lambda i: (i, 0, 0),
-                           memory_space=pltpu.VMEM)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),                   # seed
-        lm_spec,                                                 # pix
+        lm3(),                                                   # pix
         blk_spec(emb.shape[1]),                                  # emb
-        lm_spec,                                                 # dy
+        lm3(),                                                   # dy
     ]
     operands = [seed_arr, _pix_blocks(pix, block), emb, dy3]
     if static.need_xlast:
         in_specs.append(blk_spec(dx_last.shape[1]))
         operands.append(dx_last)
-    in_specs.append(pl.BlockSpec((hw_ext, c_pad), lambda i: (i // bps, 0),
+    in_specs.append(pl.BlockSpec((hw_ext, c_pad), lambda i, j: (i, 0),
                                  memory_space=pltpu.VMEM))       # feT band
     operands.append(fe)
     in_specs += [_rep_spec(op) for op in ops]
@@ -609,7 +620,7 @@ def _fused_pixel_bwd(static: PixelStatic, res, cots):
         in_specs += [blk_spec(a_list[t * n_hidden + i].shape[1])
                      for i in range(n_hidden)]
         operands += list(a_list[t * n_hidden:(t + 1) * n_hidden])
-    in_specs.append(lm_spec)                                     # y
+    in_specs.append(lm3())                                       # y
     operands.append(y3)
     in_specs += [_rep_spec(s) for s in sels]
     operands += sels
@@ -736,20 +747,26 @@ def make_fused_train_decoder_pixel(specs: Specs,
             fe = jnp.pad(fe, ((0, 0), (0, 0), (0, c_pad - c)))
         fe = fe.reshape(b * (hw + 128), c_pad)
 
-        # camera projection (reference utils/utils.py:536-549): pixel coords
-        # in feature-map units (align_corners: u=-1 -> col 0, u=1 -> Wf-1)
+        # camera projection in the EXACT float sequence of the XLA path
+        # (ops/geometry.pixel_alignment + grid_sample_bicubic, reference
+        # utils/utils.py:536-549): same values to the ulp, so borderline
+        # ReLU units downstream see identical pre-activations — a formula
+        # reassociation here (e.g. xi * ((wf-1)/imgsz)) shifts xp by ~1e-6
+        # px and flips kink branches at isolated points (measured: ~3%
+        # gradient deviation concentrated on single points)
         imgsz = float(specs.image_size[0])
-        xyz_cam = (xyz.reshape(b, n, 3) * (2.0 / specs.sdf_scale_factor)
+        xyz_cam = (xyz.reshape(b, n, 3) * 2.0 / specs.sdf_scale_factor
                    + pred_root)
         hom = jnp.einsum("bij,bnj->bni", cam_intr[:, :3, :3], xyz_cam)
-        zc = hom[..., 2]
-        xi = hom[..., 0] / zc
-        yi = hom[..., 1] / zc
-        in_img = ((xi >= 0.0) & (xi <= imgsz) & (yi >= 0.0) & (yi <= imgsz)
-                  & jnp.isfinite(xi) & jnp.isfinite(yi))
+        xy_img = hom[..., :2] / hom[..., 2:3]
+        uv = xy_img / imgsz * 2.0 - 1.0
+        in_img = ((uv[..., 0] >= -1.0) & (uv[..., 0] <= 1.0)
+                  & (uv[..., 1] >= -1.0) & (uv[..., 1] <= 1.0))
         mask = in_img.astype(jnp.float32)
-        xp = jnp.where(in_img, xi, 0.0) * ((wf - 1) / imgsz)
-        yp = jnp.where(in_img, yi, 0.0) * ((hf - 1) / imgsz)
+        xp_raw = (uv[..., 0] + 1.0) * 0.5 * (wf - 1)
+        yp_raw = (uv[..., 1] + 1.0) * 0.5 * (hf - 1)
+        xp = jnp.where(in_img & jnp.isfinite(xp_raw), xp_raw, 0.0)
+        yp = jnp.where(in_img & jnp.isfinite(yp_raw), yp_raw, 0.0)
         lane = jax.lax.broadcasted_iota(jnp.int32, (8, m), 0)
         pix = (jnp.where(lane == 0, xp.reshape(1, m), 0.0)
                + jnp.where(lane == 1, yp.reshape(1, m), 0.0)
