@@ -211,18 +211,26 @@ def _fwd_kernel(static: PixelStatic, trunks_def, seed_ref, pix_ref, emb_ref,
     if static.need_xlast:
         xlast_ref, refs = refs[0], refs[1:]
     ah_refs, refs = refs[:n_hidden], refs[n_hidden:]
-    ao_refs = refs[:n_hidden] if static.has_obj else []
+    if static.has_obj:
+        ao_refs, refs = refs[:n_hidden], refs[n_hidden:]
+    else:
+        ao_refs = []
+    lat_ref = refs[0]
 
     xp = pix_ref[0, 0:1, :]
     yp = pix_ref[0, 1:2, :]
     mask = pix_ref[0, 2:3, :]
     wext, _, _ = _weight_tile(static, xp, yp, mask, dtype)
 
-    # latent = wext^T @ feT: (BLK, C_pad), f32 accumulate
+    # latent = wext^T @ feT: (BLK, C_pad), f32 accumulate.  Stored as a
+    # residual: recomputing it in backward costs a 283-GFLOP matmul per
+    # step at production shapes vs ~0.16 ms of HBM traffic for the store
+    # (xplane, BASELINE.md round 4)
     lat = jax.lax.dot_general(wext, fe_ref[:].astype(dtype),
                               (((0,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
     lat = lat.astype(dtype)
+    lat_ref[:] = lat
     emb = emb_ref[:].astype(dtype)
 
     acc_h = _trunk_forward(static, trunk_h, lat, emb, seed, gid, ah_refs,
@@ -321,6 +329,9 @@ def _fused_pixel_fwd(static: PixelStatic, trunks, fe, pix, emb, seed):
         out_specs += [pl.BlockSpec((block, h_pads[i]), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM)
                       for i in range(n_hidden)]
+    out_shapes.append(jax.ShapeDtypeStruct((m, c_pad), rdtype))  # lat
+    out_specs.append(pl.BlockSpec((block, c_pad), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM))
 
     outs = pl.pallas_call(
         partial(_fwd_kernel, static, trunks_k),
@@ -351,7 +362,9 @@ def _fused_pixel_fwd(static: PixelStatic, trunks, fe, pix, emb, seed):
     else:
         x_last = jnp.zeros((m, h_pads[-2]), jnp.float32)  # DCE'd by XLA
     a_list = tuple(outs[i:i + n_res])
-    res = (trunks_k, fe_k, pix, emb.astype(dt), a_list, y3, seed_arr)
+    lat_res = outs[i + n_res]
+    res = (trunks_k, fe_k, pix, emb.astype(dt), a_list, lat_res, y3,
+           seed_arr)
     return (_lm_unblocks(y3), x_last), res
 
 
@@ -437,6 +450,7 @@ def _bwd_kernel(static: PixelStatic, trunks_def, seed_ref, pix_ref, emb_ref,
     sel_o_ref = None
     if static.has_obj:
         sel_o_ref, refs = refs[0], refs[1:]
+    lat_in_ref, refs = refs[0], refs[1:]
     # outputs
     dfe_ref, dpix_ref, demb_ref = refs[0], refs[1], refs[2]
     refs = refs[3:]
@@ -485,8 +499,7 @@ def _bwd_kernel(static: PixelStatic, trunks_def, seed_ref, pix_ref, emb_ref,
     mask = pix_ref[0, 2:3, :]
     wext, kx, ky = _weight_tile(static, xp, yp, mask, dtype)
     fe = fe_ref[:].astype(dtype)
-    lat = jax.lax.dot_general(wext, fe, (((0,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32).astype(dtype)
+    lat = lat_in_ref[:].astype(dtype)   # forward residual, not recomputed
     emb = emb_ref[:].astype(dtype)
 
     # split the lanes-major dy rows into per-trunk last-layer cotangents
@@ -536,7 +549,7 @@ def _bwd_kernel(static: PixelStatic, trunks_def, seed_ref, pix_ref, emb_ref,
 
 
 def _fused_pixel_bwd(static: PixelStatic, res, cots):
-    trunks_k, fe, pix, emb, a_list, y3, seed_arr = res
+    trunks_k, fe, pix, emb, a_list, lat_res, y3, seed_arr = res
     dy_lm, dx_last = cots   # dy arrives lanes-major (8, M), dense lanes
     m = emb.shape[0]
     dy3 = _lm_blocks(dy_lm, static.block)
@@ -624,6 +637,8 @@ def _fused_pixel_bwd(static: PixelStatic, res, cots):
     operands.append(y3)
     in_specs += [_rep_spec(s) for s in sels]
     operands += sels
+    in_specs.append(blk_spec(c_pad))                             # lat
+    operands.append(lat_res)
 
     outs = pl.pallas_call(
         partial(_bwd_kernel, static, trunks_k),
