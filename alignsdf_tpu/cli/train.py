@@ -107,6 +107,12 @@ def main(argv: Optional[list] = None) -> None:
                         help="test-set directory override for the "
                              "post-training reconstruction")
     parser.add_argument("--test_cube_dim", type=int, default=128)
+    parser.add_argument("--no_init_guard", action="store_true",
+                        help="skip the clamp dead-zone init check (a fresh "
+                             "init whose mean prediction starts in/past the "
+                             "ClampingDistance band has a bit-frozen sdf "
+                             "loss; the guard re-draws the init seed until "
+                             "healthy — see BASELINE.md round 4)")
     parser.add_argument("--multistep", type=int, default=1,
                         help="chain N train steps per device dispatch "
                              "(lax.scan over a stacked batch; hides host "
@@ -138,7 +144,25 @@ def main(argv: Optional[list] = None) -> None:
     model = build_model(specs)
     optimizer = make_optimizer(specs)
     rng = jax.random.PRNGKey(specs.random_seed or 0)
-    state = init_train_state(model, specs, rng, optimizer)
+    # the guard only matters for FRESH params: warm starts / resumes
+    # overwrite them immediately
+    fresh = not args.smoke and not (
+        (specs.resume and os.path.exists(specs.resume))
+        or args.continue_from
+        or ckpt.checkpoint_exists(
+            os.path.join(args.output_root, specs.experiment_name())))
+    if fresh and not args.no_init_guard and specs.clamping_distance:
+        from alignsdf_tpu.training.train_step import healthy_init_train_state
+
+        state, tries = healthy_init_train_state(model, specs, rng, optimizer)
+        if tries > 1:
+            logger.warning(
+                "init guard: re-drew the init %d time(s) — the first draw(s) "
+                "started the decoder inside the %.2f clamp's zero-gradient "
+                "dead zone (BASELINE.md round 4)", tries - 1,
+                specs.clamping_distance)
+    else:
+        state = init_train_state(model, specs, rng, optimizer)
     # per-step dropout stream: the TPU-native rbg generator is ~20 ms/step
     # cheaper than threefry at this mask volume (8x 128k x 512 per step);
     # still deterministic per seed.  --slow_prng restores threefry.

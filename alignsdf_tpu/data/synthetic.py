@@ -95,6 +95,23 @@ def _icosphere(center, radius: float, subdiv: int = 3):
     return (verts * radius + np.asarray(center)).astype(np.float32), faces
 
 
+def geometric_part_label(pts: np.ndarray, hand_center: np.ndarray) -> np.ndarray:
+    """Analytic hand-part label (0..5) of a point: the azimuthal sextant of
+    its direction from the hand-sphere center, in the frame of ``pts``.
+
+    Mirrors the reference label semantics (PreprocessMesh.cpp:269-280 stores
+    the part label of the nearest hand-surface point in lab_* column 0): for
+    a sphere the nearest surface point lies along the ray from the center,
+    so the sextant of the direction IS the nearest-surface-point's label —
+    exact for both the hand's own samples and the obj file's lab_*_other.
+    This makes the classifier path provable: accuracy of re-queried labels
+    at reconstructed-mesh vertices vs this function must be >> 1/6 chance."""
+    d = np.asarray(pts, np.float64) - np.asarray(hand_center, np.float64)
+    az = np.arctan2(d[:, 1], d[:, 0])  # [-pi, pi]
+    lab = np.floor((az + np.pi) / (np.pi / 3.0)).astype(np.int64)
+    return np.clip(lab, 0, 5).astype(np.uint8)
+
+
 _MANO_CACHE: Dict[str, object] = {}
 
 
@@ -178,8 +195,9 @@ def write_geometric_dataset(root: str, keys: List[str],
                                scene["root"], float(scene["hand_radius"]))}
         half = n_points // 2
         for sub, (c, r, c_other, r_other) in centers.items():
-            # near-surface shell + 15% uniform box (the reference's 94%/6%
-            # near-surface split, PreprocessMesh.cpp:726)
+            # 85% near-surface shell + 15% uniform box (denser uniform tail
+            # than the reference's 94%/6%, PreprocessMesh.cpp:726 — the tiny
+            # scene count needs more off-surface coverage per scene)
             n_near = int(n_points * 0.85)
             u = rng.randn(n_points, 3)
             u /= np.linalg.norm(u, axis=1, keepdims=True)
@@ -189,10 +207,19 @@ def write_geometric_dataset(root: str, keys: List[str],
             sdf = (np.linalg.norm(pts - c, axis=1) - r).astype(np.float32)
             sdf_other = (np.linalg.norm(pts - c_other, axis=1)
                          - r_other).astype(np.float32)
+            # hand-part labels relative to the HAND center in both files
+            # (scene["root"]): the hand file's own labels and the obj file's
+            # nearest-hand labels coincide for spheres (geometric_part_label)
+            part = geometric_part_label(pts, scene["root"])
             pos = sdf >= 0
             blocks = {}
             for name, m in (("pos", pos), ("neg", ~pos)):
                 take = np.where(m)[0][:half]
+                if len(take) == 0:
+                    raise ValueError(
+                        f"{key}/{sub}: no {name} samples — degenerate scene "
+                        "(np.resize on an empty take would silently emit "
+                        "wrong-sign zeros)")
                 # pad by repetition if one side is short
                 if len(take) < half:
                     take = np.concatenate(
@@ -201,9 +228,10 @@ def write_geometric_dataset(root: str, keys: List[str],
                     [pts[take], sdf[take, None]], axis=1).astype(np.float32)
                 blocks[name + "_other"] = sdf_other[take, None].astype(
                     np.float32)
-                blocks["lab_" + name] = np.zeros((half, 4), np.uint8)
-                blocks["lab_" + name + "_other"] = np.zeros((half, 4),
-                                                            np.uint8)
+                lab = np.zeros((half, 4), np.uint8)
+                lab[:, 0] = part[take]
+                blocks["lab_" + name] = lab
+                blocks["lab_" + name + "_other"] = lab.copy()
             np.savez(os.path.join(base, sub, key + ".npz"), **blocks)
 
         # meta in the stored (pre-flip) frame: work = flip @ stored.

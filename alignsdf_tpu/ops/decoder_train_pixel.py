@@ -313,6 +313,12 @@ def _fused_pixel_fwd(static: PixelStatic, trunks, fe, pix, emb, seed):
     ops += _sels(static, trunks_k)
 
     h_pads = [b.shape[1] for b in trunks[0].biases]
+    if static.has_obj:
+        # residual buffers + t-loop out_specs below are sized from the hand
+        # trunk's widths; a config with differing trunk dims would write obj
+        # activations into wrong-width buffers — fail loudly instead
+        assert [b.shape[1] for b in trunks[1].biases] == h_pads, \
+            "pixel train kernel requires identical hand/obj trunk widths"
     grid = (m // block,)
 
     out_shapes = [jax.ShapeDtypeStruct((m // block, 8, block), jnp.float32)]

@@ -99,7 +99,9 @@ def _blocking(n: int, m: int, period: int, budget_bytes: int):
     """(rows, lanes) per grid block: rows a multiple of ``period`` (the roll
     edge masks make multi-strip blocks exact — lanes are fully independent)
     that DIVIDES n, sized so one f32 working copy fits ``budget_bytes``."""
-    lanes = min(m, 2048)
+    # largest divisor of m <= 2048 — grid=(.., m // lanes) silently skips
+    # tail lanes otherwise, leaving unwritten garbage for non-divisible m
+    lanes = next(c for c in range(min(m, 2048), 0, -1) if m % c == 0)
     rows_target = max(1, budget_bytes // (lanes * 4))
     k_target = max(1, rows_target // period)
     strips = n // period

@@ -171,6 +171,77 @@ def make_multi_step(train_step, k: int):
     return multi
 
 
+def init_prediction_means(model, specs: Specs, state: "TrainState",
+                          batch_size: int = 2, seed: int = 17):
+    """Mean init-time hand/obj SDF predictions on a synthetic probe batch,
+    evaluated on CPU.
+
+    The clamp dead-zone detector: the torch-faithful init draws the decoder
+    final-layer bias from U(+-1/sqrt(in)) ~ +-0.044 at width 512, and an
+    unlucky draw starts ALL predictions in/past the 0.05 clamp band, where
+    the clamped-L1 sdf loss has ZERO gradient — the loss freezes bit-exactly
+    (hazard analysis in BASELINE.md round 4; the reference's torch init has
+    the identical roulette, reference train.py:333-369 + deep_sdf clamp)."""
+    from alignsdf_tpu.data.synthetic import synthetic_train_batch
+    from alignsdf_tpu.models.alignsdf import full_variables
+
+    batch = synthetic_train_batch(specs, batch_size=batch_size, seed=seed)
+    cond = {k: jnp.asarray(batch[k]) for k in
+            ("cam_intr", "mano_root", "rest_obj_corners")}
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+    ctx = jax.default_device(cpu) if (
+        cpu is not None and jax.default_backend() != "cpu") else None
+    variables = full_variables(model, state.params, state.batch_stats)
+
+    def run():
+        h0, o0, *_ = model.apply(variables, jnp.asarray(batch["image"]),
+                                 jnp.asarray(batch["xyz"]), cond)
+        return (float(jnp.mean(h0)) if h0 is not None else 0.0,
+                float(jnp.mean(o0)) if o0 is not None else 0.0)
+
+    if ctx is not None:
+        with ctx:
+            return run()
+    return run()
+
+
+def healthy_init_train_state(
+    model: AlignSDF,
+    specs: Specs,
+    rng: jax.Array,
+    optimizer: optax.GradientTransformation,
+    max_tries: int = 25,
+):
+    """init_train_state with the clamp dead-zone guard: re-draw the init
+    until the mean probe prediction of both branches sits safely INSIDE the
+    clamp band (|mean| < 0.6 * ClampingDistance — the criterion the round-4
+    overfit proof validated), so a fresh `cli/train` run can't silently
+    start with a bit-frozen sdf loss.
+
+    Returns (state, tries).  Raises RuntimeError if no healthy draw is found
+    in ``max_tries`` (override with --no_init_guard)."""
+    clamp = specs.clamping_distance
+    threshold = 0.6 * clamp if clamp else None
+    last = None
+    for t in range(max_tries):
+        cand = init_train_state(model, specs, jax.random.fold_in(rng, t)
+                                if t else rng, optimizer)
+        if threshold is None:
+            return cand, 1
+        mh, mo = init_prediction_means(model, specs, cand)
+        last = (mh, mo)
+        if abs(mh) < threshold and abs(mo) < threshold:
+            return cand, t + 1
+    raise RuntimeError(
+        f"no healthy init in {max_tries} draws (last probe means {last}, "
+        f"threshold {threshold}): every draw starts the decoder in the "
+        f"{clamp} clamp's zero-gradient dead zone. Use a pretrained warm "
+        "start (tools/import_backbone.py) or --no_init_guard to proceed.")
+
+
 def init_train_state(
     model: AlignSDF,
     specs: Specs,
