@@ -63,6 +63,12 @@ def main(argv=None):
                         help="images of device work kept in flight ahead of "
                              "the host-side meshing/export work")
     parser.add_argument("--data_root", default=None)
+    parser.add_argument("--ref_pixel_projection", action="store_true",
+                        help="pixel-align configs: reproduce the reference "
+                             "mesh path's embedded-column projection (its "
+                             "train/inference inconsistency) instead of the "
+                             "default train-consistent raw-xyz projection "
+                             "(see inference/grid.py)")
     args = parser.parse_args(argv)
 
     logging.basicConfig(force=True, level=logging.INFO,
@@ -110,6 +116,7 @@ def main(argv=None):
     recon = Reconstructor(
         model, variables, specs, cube_dim=args.cube_dim, mesh=mesh,
         decode_fn=decode_fn, mano_faces=mano_faces, grid_dtype=kdtype,
+        pixel_ref_projection=args.ref_pixel_projection,
     )
 
     t0 = time.time()

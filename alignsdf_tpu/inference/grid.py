@@ -100,8 +100,19 @@ def make_grid_evaluator(
     mesh: Optional[Mesh] = None,
     two_pass: bool = True,
     grid_decode_fn: Optional[Callable] = None,
+    pixel_ref_projection: bool = False,
 ):
     """Build the jitted two-pass grid evaluator.
+
+    ``pixel_ref_projection``: reproduce the reference's mesh-path projection
+    for pixel-aligned configs, which projects the EMBEDDED vector's first
+    three columns (reference utils/mesh.py:47-55 -> utils/utils.py:561-572).
+    For kinematic embeddings those columns are xyz + rot_center*(sf/2) — a
+    centimetres-scale shift the reference's TRAIN path (utils.py:536-549,
+    raw xyz) does not apply, i.e. a train/inference inconsistency in the
+    reference (its shipped configs never enable PixelAlign, so the path is
+    latent there).  Default False = train-consistent raw-xyz projection;
+    True only for reference bit-match tests.
 
     Args:
       decode_fn: (decoder_ctx, embedded_points (M, latent+pfs concat input))
@@ -158,12 +169,14 @@ def make_grid_evaluator(
             latent = ctx["latent"]
             if latent.ndim == 4:
                 # pixel-aligned spatial feature map (B=1, C, Hf, Wf):
-                # per-point projection + bicubic sampling, matching the
-                # reference mesh path exactly — including projecting the
-                # *embedded* vector's first three columns
-                # (reference utils/mesh.py:47-55 -> utils/utils.py:561-572)
+                # per-point projection + bicubic sampling.  Default: project
+                # the RAW grid coords, consistent with the train path
+                # (reference utils/utils.py:536-549); pixel_ref_projection
+                # reproduces the reference mesh path's embedded-column
+                # projection instead (see make_grid_evaluator docstring)
+                proj_pts = emb[:, :3] if pixel_ref_projection else pts
                 latent = pixel_alignment(
-                    latent, emb[:, :3], ctx["cam_intr"], ctx["pred_root"],
+                    latent, proj_pts, ctx["cam_intr"], ctx["pred_root"],
                     specs.image_size[0], specs.sdf_scale_factor,
                 )
             elif latent.ndim == 2 and latent.shape[0] == 1:
@@ -218,4 +231,8 @@ def make_grid_evaluator(
     def evaluate(ctx: Dict[str, Any]) -> GridResult:
         return run_jit(ctx, idx_dev)
 
+    # exposed for AOT inspection (tools/audit_collectives.py lowers the
+    # sharded program to audit its collective traffic)
+    evaluate.run_jit = run_jit
+    evaluate.idx_dev = idx_dev
     return evaluate

@@ -85,12 +85,18 @@ class Reconstructor:
         decode_fn: Optional[Callable] = None,
         mano_faces: Optional[np.ndarray] = None,
         grid_dtype=None,
+        pixel_ref_projection: bool = False,
     ):
         self.model = model
         self.variables = variables
         self.specs = specs
         self.cube_dim = cube_dim
         self.mano_faces = mano_faces
+        # reference-compat: reproduce the reference mesh path's embedded-
+        # column projection for pixel configs (a train/inference
+        # inconsistency in the reference — inference/grid.py docstring);
+        # default False projects raw coords like the train path
+        self.pixel_ref_projection = pixel_ref_projection
 
         if decode_fn is None:
             def decode_fn(ctx, inputs):
@@ -125,7 +131,8 @@ class Reconstructor:
                 # block 512 measured best at 256^3 (128/256/512/1024 ->
                 # 25.0/30.7/32.9/32.7 M q/s)
                 grid_decode_fn = make_fused_pixel_grid_decode_fn(
-                    specs, cube_dim, block=512, dtype=kdtype)
+                    specs, cube_dim, block=512, dtype=kdtype,
+                    ref_projection=pixel_ref_projection)
             else:
                 from alignsdf_tpu.ops.decoder_kernel import (
                     make_fused_grid_decode_fn,
@@ -141,6 +148,7 @@ class Reconstructor:
         self.evaluate_grid = make_grid_evaluator(
             decode_fn, specs, cube_dim, chunk=chunk, mesh=mesh, two_pass=True,
             grid_decode_fn=grid_decode_fn,
+            pixel_ref_projection=pixel_ref_projection,
         )
 
         @jax.jit
@@ -302,8 +310,9 @@ class Reconstructor:
         if ctx["latent"].ndim == 4:
             from alignsdf_tpu.ops.geometry import pixel_alignment
 
+            proj_pts = emb[:, :3] if self.pixel_ref_projection else pts
             latent = pixel_alignment(
-                ctx["latent"], emb[:, :3], ctx["cam_intr"], ctx["pred_root"],
+                ctx["latent"], proj_pts, ctx["cam_intr"], ctx["pred_root"],
                 specs.image_size[0], specs.sdf_scale_factor)
         else:
             latent = jnp.broadcast_to(ctx["latent"],

@@ -1141,10 +1141,16 @@ def make_fused_pixel_grid_kernel_t(
 
 def make_fused_pixel_grid_decode_fn(specs: Specs, n: int, block: int = 128,
                                     interpret: bool = False,
-                                    dtype=jnp.float32):
+                                    dtype=jnp.float32,
+                                    ref_projection: bool = False):
     """grid_decode(ctx, idx, origin, voxel) for pixel-aligned configs, or None
     when ineligible.  ctx must hold the NCHW feature map in ctx['latent'],
     plus 'cam_intr' and 'pred_root' (inference/reconstruct.py Reconstructor).
+
+    ``ref_projection``: project the kinematic embedding's first 3 columns
+    (the reference mesh path's behavior, a train/inference inconsistency —
+    see inference/grid.make_grid_evaluator docstring).  Default False
+    projects the RAW grid coords like the train path.
     """
     from alignsdf_tpu.ops.embeddings import kinematic_embedding
 
@@ -1190,8 +1196,15 @@ def make_fused_pixel_grid_decode_fn(specs: Specs, n: int, block: int = 128,
         a_full, b_full = emb_affine(ctx)
         cam = ctx["cam_intr"][0, :3, :3].astype(jnp.float32)
         root = ctx["pred_root"].reshape(3).astype(jnp.float32)
+        # the projection input: raw grid coords (train-consistent, identity
+        # affine) unless reproducing the reference mesh path's embedded-
+        # column projection
+        if ref_projection:
+            a_proj, b_proj = a_full[:, :3], b_full[:3]
+        else:
+            a_proj, b_proj = jnp.eye(3), jnp.zeros((3,))
         proj = jnp.concatenate([
-            a_full[:, :3].reshape(9), b_full[:3].reshape(3),
+            a_proj.reshape(9), b_proj.reshape(3),
             cam.reshape(9), root,
             jnp.asarray([2.0 / specs.sdf_scale_factor,
                          (wf - 1) / specs.image_size[0],

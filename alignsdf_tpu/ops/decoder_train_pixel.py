@@ -144,15 +144,20 @@ def _flatten_trunk(trunk: PixelTrunk):
 
 def _weight_tile(static: PixelStatic, xp, yp, mask, dtype):
     """The (HW+128, BLK) separable bicubic weight tile: rows 0..HW-1 are the
-    Keys weights (masked), row HW carries the out-of-image mean fallback."""
+    Keys weights (masked), row HW carries the out-of-image mean fallback.
+
+    The 0/1 mask is folded into the 1-D kx taps BEFORE the outer product —
+    bit-exact (a*1 = a, anything*0 = 0 for finite taps) and saves the
+    (HW, BLK) mask multiply on the dense tile.  The returned kx is therefore
+    already masked (the backward's dyp factorization relies on this)."""
     hf, wf, block = static.hf, static.wf, static.block
     cxi = jax.lax.broadcasted_iota(jnp.int32, (wf, block), 0).astype(
         jnp.float32)
     cyi = jax.lax.broadcasted_iota(jnp.int32, (hf, block), 0).astype(
         jnp.float32)
-    kx = _keys_cubic(cxi - xp)                      # (Wf, BLK)
+    kx = _keys_cubic(cxi - xp) * mask               # (Wf, BLK), masked
     ky = _keys_cubic(cyi - yp)                      # (Hf, BLK)
-    wxy = (ky[:, None, :] * kx[None, :, :]).reshape(hf * wf, block) * mask
+    wxy = (ky[:, None, :] * kx[None, :, :]).reshape(hf * wf, block)
     mrow = jnp.where(
         jax.lax.broadcasted_iota(jnp.int32, (128, block), 0) == 0,
         1.0 - mask, 0.0)
@@ -537,18 +542,25 @@ def _bwd_kernel(static: PixelStatic, trunks_def, seed_ref, pix_ref, emb_ref,
     # pixel-coordinate cotangents via the Keys-cubic derivative:
     #   dW[q, p] = sum_c feT[q, c] * dlat[p, c]   (HW+128, BLK)
     #   dxp[p]   = sum_{r,c} dW[(r,c), p] * ky[r, p] * d/dxp K(c - xp)
-    dw = jax.lax.dot_general(fe, dlat_c, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)[:hw, :]
+    # The (ky (x) gx) / (gy (x) kx) weights are SEPARABLE, so the double sum
+    # factorizes into two cheap stages over the (Hf, Wf, BLK) view instead
+    # of building two more dense (HW, BLK) tiles: ~60% fewer VPU ops in the
+    # tile path (the tiles were the VPU cost center, xplane r4/r5)
+    dw3 = jax.lax.dot_general(
+        fe, dlat_c, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)[:hw, :].reshape(
+            static.hf, static.wf, static.block)
     cxi = jax.lax.broadcasted_iota(jnp.int32, (static.wf, static.block),
                                    0).astype(jnp.float32)
     cyi = jax.lax.broadcasted_iota(jnp.int32, (static.hf, static.block),
                                    0).astype(jnp.float32)
-    gx = -_keys_cubic_grad(cxi - xp)                  # (Wf, BLK)
+    gx = -_keys_cubic_grad(cxi - xp) * mask           # (Wf, BLK), masked
     gy = -_keys_cubic_grad(cyi - yp)                  # (Hf, BLK)
-    w_gx = (ky[:, None, :] * gx[None, :, :]).reshape(hw, static.block) * mask
-    dxp = jnp.sum(w_gx * dw, axis=0, keepdims=True)   # (1, BLK)
-    w_gy = (gy[:, None, :] * kx[None, :, :]).reshape(hw, static.block) * mask
-    dyp = jnp.sum(w_gy * dw, axis=0, keepdims=True)
+    # dxp = sum_r ky[r] * (sum_c gx[c] * dw[r, c]);  kx is already masked
+    tx = jnp.sum(dw3 * gx[None, :, :], axis=1)        # (Hf, BLK)
+    dxp = jnp.sum(ky * tx, axis=0, keepdims=True)     # (1, BLK)
+    ty = jnp.sum(dw3 * gy[:, None, :], axis=0)        # (Wf, BLK)
+    dyp = jnp.sum(kx * ty, axis=0, keepdims=True)
     r8 = jax.lax.broadcasted_iota(jnp.int32, (8, static.block), 0)
     dpix_ref[0] = (jnp.where(r8 == 0, dxp, 0.0)
                    + jnp.where(r8 == 1, dyp, 0.0))

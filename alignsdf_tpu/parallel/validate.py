@@ -28,7 +28,8 @@ import os
 
 
 def run(coordinator: str, num_processes: int, process_id: int, out_path: str,
-        workdir: str, steps: int = 3, grid_n: int = 16) -> dict:
+        workdir: str, steps: int = 3, grid_n: int = 16,
+        production_grid: int = 0) -> dict:
     import jax
 
     if num_processes > 1:
@@ -163,6 +164,46 @@ def run(coordinator: str, num_processes: int, process_id: int, out_path: str,
         "restored_epoch": int(epoch),
         "ckpt_roundtrip_max_dev": max_dev,
     }
+
+    # --- production-PROPORTIONED sharded grid across the process group:
+    # the bench workload's twin 512-wide/latent-256 decoders (BASELINE.md
+    # 256^3 north star) on a CPU-sized cube, point-sharded over the global
+    # mesh with the refine-cube reduction + field all-gather crossing the
+    # process boundary (collective volumes audited by
+    # tools/audit_collectives.py)
+    if production_grid:
+        import time
+
+        from alignsdf_tpu.models.decoder import SeparateDecoder
+
+        specs_p = Specs(model_type="1encoder2decoder", encode_style="nerf",
+                        point_feat_size=3, latent_size=256,
+                        sdf_scale_factor=7.018621123357809,
+                        network_specs=NetworkSpecs())
+        dec = SeparateDecoder(specs_p.latent_size, specs_p.point_feat_size,
+                              specs_p.encode_style, specs_p.network_specs,
+                              use_classifier=False)
+        vars_p = dec.init(jax.random.PRNGKey(0),
+                          jnp.zeros((8, specs_p.latent_size + 3)))
+
+        def decode_p(ctx, inputs):
+            h, o, _ = dec.apply({"params": ctx["params"]}, inputs)
+            return h, o, None
+
+        ev_p = make_grid_evaluator(
+            decode_p, specs_p, production_grid,
+            chunk=production_grid ** 3 // n_dev, mesh=mesh, two_pass=True)
+        ctx_p = {"params": vars_p["params"],
+                 "decoder_params": vars_p["params"],
+                 "latent": jax.random.normal(jax.random.PRNGKey(3),
+                                             (1, specs_p.latent_size))}
+        t0 = time.time()
+        rp = ev_p(ctx_p)
+        s = float(np.asarray(rp.sdf_hand).sum()
+                  + np.asarray(rp.sdf_obj).sum())
+        result["prod_grid_n"] = production_grid
+        result["prod_grid_sum"] = s
+        result["prod_grid_s"] = round(time.time() - t0, 2)
     if out_path:
         with open(out_path, "w") as f:
             json.dump(result, f, indent=1)
@@ -177,6 +218,10 @@ def main(argv=None) -> None:
     parser.add_argument("--out", default="")
     parser.add_argument("--workdir", default="/tmp/alignsdf_mp")
     parser.add_argument("--steps", type=int, default=3)
+    parser.add_argument("--production_grid", type=int, default=0,
+                        help="also run a production-proportioned sharded "
+                             "grid (twin 512-wide/latent-256 decoders) at "
+                             "this cube dim across the process group")
     parser.add_argument("--cpu", action="store_true",
                         help="force the CPU backend (virtual-device drill)")
     args = parser.parse_args(argv)
@@ -186,7 +231,8 @@ def main(argv=None) -> None:
         jax.config.update("jax_platforms", "cpu")
     os.makedirs(args.workdir, exist_ok=True)
     result = run(args.coordinator, args.num_processes, args.process_id,
-                 args.out, args.workdir, steps=args.steps)
+                 args.out, args.workdir, steps=args.steps,
+                 production_grid=args.production_grid)
     print(json.dumps({k: v for k, v in result.items() if k != "losses"}))
 
 

@@ -4,6 +4,13 @@
 comparing the final PLY vertices, i.e. the composed pipeline
 grid fields -> marching cubes -> largest connected component (-> ICP).
 
+Parameterized over THREE config families (VERDICT r4 item 5):
+  * hand:  ManoBranch + kinematic 'hand' embedding (plus the ICP leg);
+  * pixel: PixelAlign — per-point bicubic HeadNet features in both grid
+    passes (reference utils/mesh.py:47-63 via decode_sdf_multi_output);
+  * cls:   obj-pose + classifier — including the label re-query npz
+    (reference utils/mesh.py:137-184 -> write_verts_label_to_npz).
+
 Both pipelines share the marching-cubes / component-split / surface-sampler
 implementations (oracle.install_mesh_stubs backs the absent skimage/trimesh/
 sklearn with alignsdf_tpu.geom + scipy), so what this verifies is exactly the
@@ -25,9 +32,31 @@ torch = pytest.importorskip("torch")
 
 CUBE = 24
 
+FAMILIES = {
+    "hand": dict(ManoBranch=True, EncodeStyle="hand", PointFeatSize=6,
+                 LatentSize=64),
+    # pixel-align pins LatentSize to the HeadNet's fixed 256 channels
+    # (reference networks/resnet.py HeadNet; decoder input = 256 + pfs)
+    "pixel": dict(ManoBranch=True, EncodeStyle="hand", PointFeatSize=6,
+                  LatentSize=256, PixelAlign=True),
+    # the classifier family must use the COMBINED decoder: the reference's
+    # SeparateDecoder classifier path reads the undefined `self.num_layers`
+    # (networks/model.py:258 — it defines num_hand_layers/num_obj_layers
+    # only) and crashes with AttributeError for any 1encoder2decoder +
+    # ClassifierBranch config, so combined is the only reference-runnable
+    # classifier configuration.  (Our SeparateDecoder supports the
+    # classifier head; golden-tested at the model level elsewhere.)
+    # (no ObjectPoseBranch here: the reference's soft_argmax hardcodes
+    # 64-cell heatmaps, i.e. ImageSize 256, and this suite runs at 64^2)
+    "cls": dict(ModelType="1encoder1decoder", ManoBranch=True,
+                EncodeStyle="hand", PointFeatSize=6,
+                LatentSize=64, ClassifierBranch=True),
+}
 
-@pytest.fixture(scope="module")
+
+@pytest.fixture(scope="module", params=list(FAMILIES), ids=list(FAMILIES))
 def pipelines(tmp_path_factory, request):
+    family = request.param
     request.addfinalizer(oracle.uninstall_torch_div_compat)
     from alignsdf_tpu.config import specs_from_dict, specs_to_dict
     from alignsdf_tpu.data.synthetic import write_synthetic_dataset
@@ -37,12 +66,12 @@ def pipelines(tmp_path_factory, request):
     from alignsdf_tpu.training.train_state import make_optimizer
     from alignsdf_tpu.training.train_step import init_train_state
 
-    tmp = tmp_path_factory.mktemp("e2e_mesh")
+    tmp = tmp_path_factory.mktemp(f"e2e_mesh_{family}")
     data_root = tmp / "data"
-    specs_dict = _specs_dict(
-        ManoBranch=True, EncodeStyle="hand", PointFeatSize=6,
-        ImageSize=[64, 64], LatentSize=64, DataSource=str(data_root),
-    )
+    over = dict(FAMILIES[family])
+    pfs = over["PointFeatSize"]
+    specs_dict = _specs_dict(ImageSize=[64, 64], DataSource=str(data_root),
+                             **over)
     oracle.install_mesh_stubs()
     specs = specs_from_dict(specs_dict)
 
@@ -73,53 +102,51 @@ def pipelines(tmp_path_factory, request):
     # shifting the final-layer bias so ~half the volume is inside — a robust,
     # deterministic iso-surface for the composition under test.
     from alignsdf_tpu.data.dataset import ImagesDataset
-    from alignsdf_tpu.inference.grid import make_grid_evaluator
+    from alignsdf_tpu.inference.reconstruct import Reconstructor
     from alignsdf_tpu.models.alignsdf import full_variables
 
     sample = ImagesDataset(["m0.jpg"], specs, "obman", data_root=base)[0]
     torch.manual_seed(0)
     ref_model = oracle.reference_full_model(specs_dict)
 
-    # Damp the decoder's xyz-frequency (emb columns are the last 6 inputs of
-    # layer 0 and the latent_in re-injection): a random-init decoder's
+    # Damp the decoder's xyz-frequency (emb columns are the last pfs inputs
+    # of layer 0 and the latent_in re-injection): a random-init decoder's
     # iso-surface is otherwise a many-component sponge whose largest-CC pick
     # is unstable under cross-framework fp noise; damped, both branches give
     # one smooth blob.
+    combined = specs_dict.get("ModelType") == "1encoder1decoder"
+    prefixes = ("lin",) if combined else ("linh", "lino")
     with torch.no_grad():
-        for pre in ("linh", "lino"):
-            getattr(ref_model.decoder, pre + "0").weight_v[:, -6:] *= 0.1
-            getattr(ref_model.decoder, pre + "2").weight_v[:, -6:] *= 0.1
+        for pre in prefixes:
+            getattr(ref_model.decoder, pre + "0").weight_v[:, -pfs:] *= 0.1
+            getattr(ref_model.decoder, pre + "2").weight_v[:, -pfs:] *= 0.1
 
     def probe_fields():
+        """Family-generic field probe through our own Reconstructor (XLA
+        decode on CPU; the pixel family samples the HeadNet map per point)."""
         model_p = build_model(specs)
         params_p, stats_p = convert_alignsdf(ref_model.state_dict(), specs,
                                              (2, 2, 2, 2))
         variables_p = full_variables(model_p, params_p, stats_p)
-        latent, mano_results, _ = model_p.apply(
-            variables_p, jnp.asarray(sample["image"])[None],
-            jnp.asarray(sample["cam_intr"])[None],
-            jnp.asarray(sample["mano_root"]).reshape(1, -1),
-            jnp.asarray(sample["rest_obj_corners"])[None],
-            method=model_p.encode_scene)
-
-        def decode_fn(ctx, inputs, _m=model_p):
-            return _m.apply({"params": ctx["params"]}, inputs,
-                            method=_m.decode_points)
-
-        ev = make_grid_evaluator(decode_fn, specs, 16, chunk=1024,
-                                 two_pass=False)
-        r = ev({"params": params_p, "latent": latent,
-                "rot_center": mano_results["rot_center"],
-                "global_trans": mano_results["global_trans"]})
-        return np.asarray(r.sdf_hand), np.asarray(r.sdf_obj)
+        recon_p = Reconstructor(model_p, variables_p, specs, cube_dim=16,
+                                chunk=1024, mesh=None)
+        res = recon_p.submit(sample)["grid"]
+        return np.asarray(res.sdf_hand), np.asarray(res.sdf_obj)
 
     h, o = probe_fields()
     with torch.no_grad():
         last = len(specs.network_specs.dims)  # final layer index
-        getattr(ref_model.decoder, f"linh{last}").bias -= float(
-            np.arctanh(np.clip(np.median(h), -0.9, 0.9)))
-        getattr(ref_model.decoder, f"lino{last}").bias -= float(
-            np.arctanh(np.clip(np.median(o), -0.9, 0.9)))
+        if combined:
+            # the combined decoder's 2-wide final layer: row 0 hand, 1 obj
+            getattr(ref_model.decoder, f"lin{last}").bias[0] -= float(
+                np.arctanh(np.clip(np.median(h), -0.9, 0.9)))
+            getattr(ref_model.decoder, f"lin{last}").bias[1] -= float(
+                np.arctanh(np.clip(np.median(o), -0.9, 0.9)))
+        else:
+            getattr(ref_model.decoder, f"linh{last}").bias -= float(
+                np.arctanh(np.clip(np.median(h), -0.9, 0.9)))
+            getattr(ref_model.decoder, f"lino{last}").bias -= float(
+                np.arctanh(np.clip(np.median(o), -0.9, 0.9)))
     h, o = probe_fields()
     assert h.min() < 0 < h.max() and o.min() < 0 < o.max()
 
@@ -138,7 +165,7 @@ def pipelines(tmp_path_factory, request):
 
     ref_out = tmp / "ref_out"
 
-    def run_reference(eval_mode):
+    def run_reference(eval_mode, label_out=False):
         cwd = os.getcwd()
         os.chdir(ref_cwd)
         oracle.reset_mesh_sampling_rng(0)
@@ -146,7 +173,7 @@ def pipelines(tmp_path_factory, request):
             ref_reconstruct.reconstruct(
                 _Wrap(ref_model), specs_dict, str(split_json), str(ref_out),
                 0, 1, task="obman", device="cpu", cube_dim=CUBE,
-                eval_mode=eval_mode)
+                eval_mode=eval_mode, label_out=label_out)
         finally:
             os.chdir(cwd)
 
@@ -165,15 +192,22 @@ def pipelines(tmp_path_factory, request):
 
     from alignsdf_tpu.cli.reconstruct import main as reconstruct_main
 
-    def run_ours(eval_mode):
+    def run_ours(eval_mode, label_out=False):
         args = ["-e", str(exp_dir), "-t", "obman", "-s", str(split_json),
                 "--cube_dim", str(CUBE), "--data_root", base]
         if eval_mode:
             args.append("--eval_mode")
+        if label_out:
+            args.append("--label")
+        if family == "pixel":
+            # bit-match the reference AS-IS, including its mesh path's
+            # embedded-column projection (train/inference inconsistency —
+            # inference/grid.py); production default is train-consistent
+            args.append("--ref_pixel_projection")
         reconstruct_main(args)
 
     ours_meshes = exp_dir / "Eval_obman" / "meshes"
-    return run_reference, run_ours, ref_out / "meshes", ours_meshes
+    return family, run_reference, run_ours, ref_out / "meshes", ours_meshes
 
 
 def _read_ply_verts(path):
@@ -205,20 +239,38 @@ def _assert_vertex_agreement(ov, rv, voxel=0.11, label=""):
 
 def test_final_meshes_vertex_match(pipelines):
     """No-ICP leg: the composed grid->MC->largest-CC output on both hand and
-    obj meshes."""
-    run_reference, run_ours, ref_meshes, our_meshes = pipelines
-    run_reference(eval_mode=False)
-    run_ours(eval_mode=False)
+    obj meshes — plus, for the classifier family, the label re-query npz
+    (reference utils/mesh.py:137-184): same vertices, >=99% identical labels."""
+    family, run_reference, run_ours, ref_meshes, our_meshes = pipelines
+    label_out = family == "cls"
+    run_reference(eval_mode=False, label_out=label_out)
+    run_ours(eval_mode=False, label_out=label_out)
     for part in ("hand", "obj"):
         rv, _ = _read_ply_verts(ref_meshes / f"m0_{part}.ply")
         ov, _ = _read_ply_verts(our_meshes / f"m0_{part}.ply")
-        _assert_vertex_agreement(ov, rv, label=part)
+        _assert_vertex_agreement(ov, rv, label=f"{family}-{part}")
+
+    if label_out:
+        ref_lab = np.load(ref_meshes / "m0_hand_label.npz")
+        our_lab = np.load(our_meshes / "m0_hand_label.npz")
+        # align by nearest vertex (the <=3% count drift above), then labels
+        # must agree except at argmax decision boundaries under fp noise
+        from scipy.spatial import cKDTree
+
+        d, idx = cKDTree(ref_lab["points"]).query(our_lab["points"])
+        matched = d < 1e-3
+        assert matched.mean() > 0.95
+        agree = (our_lab["labels"][matched]
+                 == ref_lab["labels"][idx[matched]])
+        assert agree.mean() > 0.99, agree.mean()
 
 
 def test_final_meshes_match_with_icp(pipelines):
     """ICP (eval_mode) leg: trans+scale ICP against the GT mesh composed on
     top; sampling streams aligned via the shared sampler stub."""
-    run_reference, run_ours, ref_meshes, our_meshes = pipelines
+    family, run_reference, run_ours, ref_meshes, our_meshes = pipelines
+    if family != "hand":
+        pytest.skip("ICP leg exercised on the hand family")
     run_reference(eval_mode=True)
     run_ours(eval_mode=True)
     rv, _ = _read_ply_verts(ref_meshes / "m0_hand.ply")

@@ -183,8 +183,12 @@ def test_pixel_align_grid_matches_reference():
                            method=model.decode_points)
 
     mesh = make_mesh(8)
+    # reference-compat mode: reproduce the reference mesh path's
+    # embedded-column projection bit-for-bit (its train/inference
+    # inconsistency — inference/grid.py docstring)
     evaluate = make_grid_evaluator(decode_fn, specs, N, chunk=N ** 3 // 8,
-                                   mesh=mesh, two_pass=False)
+                                   mesh=mesh, two_pass=False,
+                                   pixel_ref_projection=True)
     ctx = {
         "params": params,
         "decoder_params": params["decoder"],
@@ -202,11 +206,41 @@ def test_pixel_align_grid_matches_reference():
     # latent sampling, ops/decoder_kernel.make_fused_pixel_grid_decode_fn)
     from alignsdf_tpu.ops.decoder_kernel import make_fused_pixel_grid_decode_fn
 
-    gd = make_fused_pixel_grid_decode_fn(specs, N, block=128, interpret=True)
+    gd = make_fused_pixel_grid_decode_fn(specs, N, block=128, interpret=True,
+                                         ref_projection=True)
     assert gd is not None
     ev_fused = make_grid_evaluator(decode_fn, specs, N, chunk=N ** 3 // 8,
                                    mesh=mesh, two_pass=False,
-                                   grid_decode_fn=gd)
+                                   grid_decode_fn=gd,
+                                   pixel_ref_projection=True)
     rf = ev_fused(ctx)
     np.testing.assert_allclose(np.asarray(rf.sdf_hand), ref_h, atol=5e-5)
+
+    # --- DEFAULT (train-consistent) mode: raw-xyz projection, golden vs the
+    # reference's own TRAIN-path math (utils/utils.py:536-549 applied to the
+    # raw grid coords) on both the XLA path and the fused kernel
+    with torch.no_grad():
+        lat_raw = ref_pa(latent_t, samples.clone(), cam_t, mano_t, 256,
+                         factor)
+        sdf_h_raw, sdf_o_raw, _ = ref_model.decoder(
+            torch.cat([lat_raw, pts], 1))
+    raw_h = sdf_h_raw[:, 0].reshape(N, N, N).numpy()
+    raw_o = sdf_o_raw[:, 0].reshape(N, N, N).numpy()
+    # the shifted and raw projections must actually differ on this scene,
+    # else the mode distinction above is vacuous
+    assert np.abs(raw_h - ref_h).max() > 1e-3
+
+    ev_raw = make_grid_evaluator(decode_fn, specs, N, chunk=N ** 3 // 8,
+                                 mesh=mesh, two_pass=False)
+    rr = ev_raw(ctx)
+    np.testing.assert_allclose(np.asarray(rr.sdf_hand), raw_h, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(rr.sdf_obj), raw_o, atol=5e-5)
+
+    gd_raw = make_fused_pixel_grid_decode_fn(specs, N, block=128,
+                                             interpret=True)
+    ev_fused_raw = make_grid_evaluator(decode_fn, specs, N,
+                                       chunk=N ** 3 // 8, mesh=mesh,
+                                       two_pass=False, grid_decode_fn=gd_raw)
+    rfr = ev_fused_raw(ctx)
+    np.testing.assert_allclose(np.asarray(rfr.sdf_hand), raw_h, atol=5e-5)
     np.testing.assert_allclose(np.asarray(rf.sdf_obj), ref_o, atol=5e-5)
