@@ -229,6 +229,62 @@ class TorchConvTranspose(nn.Module):
         return out.transpose(2, 3, 0, 4, 1, 5).reshape(b, 2 * h, 2 * w, o)
 
 
+# wgrad-only space-to-depth (r5): keep the DIRECT forward conv (XLA's
+# 3-channel fwd handling is already good — the full-s2d stem measured
+# neutral-to-slower) but compute the WEIGHT gradient on the 2x2
+# space-to-depth view: the wgrad conv's contraction then runs at C_in=12
+# instead of 3 (4x the MXU lane occupancy of the 7x7 wgrad; the 0.7 ms/step
+# batch-constant pocket in the b64 xplane, BASELINE.md r4).  dx stays the
+# stock XLA transposed conv via an inner jax.vjp.
+# MEASURED AND REJECTED (r5, bit-exact parity held): b64 29.12 -> 29.79 ms,
+# b128/pixel neutral — XLA's own wgrad handles C_in=3 better than the s2d
+# rewrite's extra reshapes; kept as a tested flag (BASELINE.md r5).
+STEM_WGRAD_S2D = False
+
+
+@jax.custom_vjp
+def _stem_conv_s2d_wgrad(x: jax.Array, kernel: jax.Array) -> jax.Array:
+    return jax.lax.conv_general_dilated(
+        x, kernel, (2, 2), ((3, 3), (3, 3)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def _stem_fwd(x, kernel):
+    return _stem_conv_s2d_wgrad(x, kernel), (x, kernel)
+
+
+def _stem_bwd(res, dy):
+    x, kernel = res
+    # dx: exactly the stock autodiff path (input-dilated conv)
+    _, pullback = jax.vjp(
+        lambda xx: jax.lax.conv_general_dilated(
+            xx, kernel, (2, 2), ((3, 3), (3, 3)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC")), x)
+    (dx,) = pullback(dy)
+
+    # dW via the exact space-to-depth rewrite (same products as the direct
+    # wgrad, reassociated): the 7x7/s2/p3 conv equals a 4x4/s1 conv on the
+    # 2x2-s2d input with the kernel padded to 8x8 (StemConv docstring), so
+    # its weight gradient is the s2d conv's wgrad mapped back through the
+    # same (i, py) -> kh = 2i + py - 1 index algebra
+    b, h, w, c = x.shape
+    f = kernel.shape[-1]
+    xs = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+    ws0 = jnp.zeros((4, 4, 4 * c, f), kernel.dtype)
+    _, pb_w = jax.vjp(
+        lambda ws: jax.lax.conv_general_dilated(
+            xs, ws, (1, 1), ((2, 1), (2, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC")), ws0)
+    (dws,) = pb_w(dy)
+    dkp = dws.reshape(4, 4, 2, 2, c, f)
+    dkp = dkp.transpose(0, 2, 1, 3, 4, 5).reshape(8, 8, c, f)
+    return dx, dkp[1:, 1:]
+
+
+_stem_conv_s2d_wgrad.defvjp(_stem_fwd, _stem_bwd)
+
+
 class StemConv(nn.Module):
     """The ResNet stem conv1 (7x7, stride 2, pad 3, bias-free) computed as an
     exact space-to-depth rewrite: 4x4 stride-1 conv on the 2x2-space-to-depth
@@ -256,8 +312,13 @@ class StemConv(nn.Module):
         s2d = (STEM_SPACE_TO_DEPTH if self.space_to_depth is None
                else self.space_to_depth)
         if not s2d or x.shape[1] % 2 or x.shape[2] % 2:
+            xc = x.astype(self.dtype)
+            kc = kernel.astype(self.dtype)
+            if (STEM_WGRAD_S2D and not x.shape[1] % 2
+                    and not x.shape[2] % 2):
+                return _stem_conv_s2d_wgrad(xc, kc)
             return jax.lax.conv_general_dilated(
-                x.astype(self.dtype), kernel.astype(self.dtype), (2, 2),
+                xc, kc, (2, 2),
                 ((3, 3), (3, 3)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
         b, h, w, c = x.shape
         x2 = x.reshape(b, h // 2, 2, w // 2, 2, c)

@@ -143,8 +143,14 @@ def _flatten_trunk(trunk: PixelTrunk):
 
 
 def _weight_tile(static: PixelStatic, xp, yp, mask, dtype):
-    """The (HW+128, BLK) separable bicubic weight tile: rows 0..HW-1 are the
-    Keys weights (masked), row HW carries the out-of-image mean fallback.
+    """The (HW, BLK) separable bicubic weight tile plus the (8, BLK)
+    mean-fallback selector (row 0 = 1-mask): the feature map and its mean
+    stay SEPARATE kernel operands, so the XLA side never concatenates a
+    (B, HW+128, C) extended table per step (the concat + layout copies of
+    that table cost ~5 ms/step at b64, xplane r5).  lat = wxy^T f + mrow8^T
+    mean8 is bit-exact vs the old fused table: for in-image points row 0 of
+    mrow8 is 0 (second term contributes exact +0), for out-of-image points
+    every masked kx tap is 0 (first term accumulates exact 0.0).
 
     The 0/1 mask is folded into the 1-D kx taps BEFORE the outer product —
     bit-exact (a*1 = a, anything*0 = 0 for finite taps) and saves the
@@ -158,10 +164,10 @@ def _weight_tile(static: PixelStatic, xp, yp, mask, dtype):
     kx = _keys_cubic(cxi - xp) * mask               # (Wf, BLK), masked
     ky = _keys_cubic(cyi - yp)                      # (Hf, BLK)
     wxy = (ky[:, None, :] * kx[None, :, :]).reshape(hf * wf, block)
-    mrow = jnp.where(
-        jax.lax.broadcasted_iota(jnp.int32, (128, block), 0) == 0,
+    mrow8 = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (8, block), 0) == 0,
         1.0 - mask, 0.0)
-    return jnp.concatenate([wxy, mrow], axis=0).astype(dtype), kx, ky
+    return wxy.astype(dtype), mrow8.astype(dtype), kx, ky
 
 
 def _trunk_forward(static: PixelStatic, trunk_refs, lat, emb, seed, gid,
@@ -196,7 +202,7 @@ def _trunk_forward(static: PixelStatic, trunk_refs, lat, emb, seed, gid,
 
 
 def _fwd_kernel(static: PixelStatic, trunks_def, seed_ref, pix_ref, emb_ref,
-                fe_ref, *refs):
+                fe_ref, mean_ref, *refs):
     n_hidden = static.n_layers - 1
     dtype = jnp.dtype(static.cdtype)
     gid = pl.program_id(0)
@@ -225,15 +231,18 @@ def _fwd_kernel(static: PixelStatic, trunks_def, seed_ref, pix_ref, emb_ref,
     xp = pix_ref[0, 0:1, :]
     yp = pix_ref[0, 1:2, :]
     mask = pix_ref[0, 2:3, :]
-    wext, _, _ = _weight_tile(static, xp, yp, mask, dtype)
+    wxy, mrow8, _, _ = _weight_tile(static, xp, yp, mask, dtype)
 
-    # latent = wext^T @ feT: (BLK, C_pad), f32 accumulate.  Stored as a
-    # residual: recomputing it in backward costs a 283-GFLOP matmul per
-    # step at production shapes vs ~0.16 ms of HBM traffic for the store
-    # (xplane, BASELINE.md round 4)
-    lat = jax.lax.dot_general(wext, fe_ref[:].astype(dtype),
+    # latent = wxy^T @ feT + mrow8^T @ mean8: (BLK, C_pad), f32 accumulate.
+    # Stored as a residual: recomputing it in backward costs a 283-GFLOP
+    # matmul per step at production shapes vs ~0.16 ms of HBM traffic for
+    # the store (xplane, BASELINE.md round 4)
+    lat = jax.lax.dot_general(wxy, fe_ref[:].astype(dtype),
                               (((0,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
+    lat = lat + jax.lax.dot_general(mrow8, mean_ref[0].astype(dtype),
+                                    (((0,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
     lat = lat.astype(dtype)
     lat_ref[:] = lat
     emb = emb_ref[:].astype(dtype)
@@ -255,20 +264,25 @@ def _fwd_kernel(static: PixelStatic, trunks_def, seed_ref, pix_ref, emb_ref,
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
-def fused_pixel_decoder(static: PixelStatic, trunks, fe, pix, emb, seed):
+def fused_pixel_decoder(static: PixelStatic, trunks, fe, mean8, pix, emb,
+                        seed):
     """Both trunks fused with in-kernel pixel-aligned latents.
 
     trunks: (hand PixelTrunk, obj PixelTrunk | None);
-    fe:  (B*(HW+128), C_pad) per-scene transposed feature maps, row HW of
-         each scene's band holding the mean feature;
-    pix: (8, M) f32 — rows 0/1/2 = x-pixel, y-pixel, in-image mask;
-    emb: (M, emb_pad) embedding columns.
+    fe:   (B*HW, C_pad) per-scene flattened feature maps (a reshape of the
+          NHWC HeadNet output — no extended table is ever concatenated);
+    mean8: (B, 8, C_pad), row 0 of each scene = the map's mean feature
+          (the out-of-image fallback; applied in-kernel via an (8, BLK)
+          selector matmul);
+    pix:  (8, M) f32 — rows 0/1/2 = x-pixel, y-pixel, in-image mask;
+    emb:  (M, emb_pad) embedding columns.
     Returns (y (8, M) f32 LANES-MAJOR — row 0 hand sdf, row 1 obj —, x_last
     (M, h) f32); row slices of the dense-lane (8, M) form are free where the
     (M, 8) form made XLA materialize ~2 ms/step of 8-lane pad/copy glue per
     trunk for the y slice and dy cotangent (BASELINE.md round 4).
     """
-    (y, x_last), _ = _fused_pixel_fwd(static, trunks, fe, pix, emb, seed)
+    (y, x_last), _ = _fused_pixel_fwd(static, trunks, fe, mean8, pix, emb,
+                                      seed)
     return y, x_last
 
 
@@ -290,11 +304,11 @@ def _pix_unblocks(pix3: jax.Array) -> jax.Array:
     return pix3.transpose(1, 0, 2).reshape(8, nb * block)
 
 
-def _fused_pixel_fwd(static: PixelStatic, trunks, fe, pix, emb, seed):
+def _fused_pixel_fwd(static: PixelStatic, trunks, fe, mean8, pix, emb, seed):
     m = emb.shape[0]
     block, bps = static.block, static.bps
     assert m % block == 0, (m, block)
-    hw_ext = static.hf * static.wf + 128
+    hw = static.hf * static.wf
     c_pad = fe.shape[1]
     dt = jnp.dtype(static.cdtype)
     rdtype = dt
@@ -312,6 +326,7 @@ def _fused_pixel_fwd(static: PixelStatic, trunks, fe, pix, emb, seed):
     trunks_k = (cast_trunk(trunks[0]),
                 cast_trunk(trunks[1]) if static.has_obj else None)
     fe_k = fe.astype(dt)
+    mean_k = mean8.astype(dt)
     ops = _flatten_trunk(trunks_k[0])
     if static.has_obj:
         ops += _flatten_trunk(trunks_k[1])
@@ -356,15 +371,17 @@ def _fused_pixel_fwd(static: PixelStatic, trunks, fe, pix, emb, seed):
                          memory_space=pltpu.VMEM),                 # pix
             pl.BlockSpec((block, emb.shape[1]), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),                 # emb
-            pl.BlockSpec((hw_ext, c_pad), lambda i: (i // bps, 0),
+            pl.BlockSpec((hw, c_pad), lambda i: (i // bps, 0),
                          memory_space=pltpu.VMEM),                 # feT band
+            pl.BlockSpec((1, 8, c_pad), lambda i: (i // bps, 0, 0),
+                         memory_space=pltpu.VMEM),                 # mean8
             *[_rep_spec(op) for op in ops],
         ],
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=static.interpret,
         **_vmem_kwargs(static.interpret),
-    )(seed_arr, _pix_blocks(pix, block), emb.astype(dt), fe_k, *ops)
+    )(seed_arr, _pix_blocks(pix, block), emb.astype(dt), fe_k, mean_k, *ops)
 
     y3 = outs[0]
     i = 1
@@ -374,7 +391,7 @@ def _fused_pixel_fwd(static: PixelStatic, trunks, fe, pix, emb, seed):
         x_last = jnp.zeros((m, h_pads[-2]), jnp.float32)  # DCE'd by XLA
     a_list = tuple(outs[i:i + n_res])
     lat_res = outs[i + n_res]
-    res = (trunks_k, fe_k, pix, emb.astype(dt), a_list, lat_res, y3,
+    res = (trunks_k, fe_k, mean_k, pix, emb.astype(dt), a_list, lat_res, y3,
            seed_arr)
     return (_lm_unblocks(y3), x_last), res
 
@@ -463,8 +480,8 @@ def _bwd_kernel(static: PixelStatic, trunks_def, seed_ref, pix_ref, emb_ref,
         sel_o_ref, refs = refs[0], refs[1:]
     lat_in_ref, refs = refs[0], refs[1:]
     # outputs
-    dfe_ref, dpix_ref, demb_ref = refs[0], refs[1], refs[2]
-    refs = refs[3:]
+    dfe_ref, dmean_ref, dpix_ref, demb_ref = refs[:4]
+    refs = refs[4:]
 
     def take_d():
         nonlocal refs
@@ -504,11 +521,12 @@ def _bwd_kernel(static: PixelStatic, trunks_def, seed_ref, pix_ref, emb_ref,
     @pl.when(pl.program_id(1) == 0)
     def _init_scene():
         dfe_ref[:] = jnp.zeros_like(dfe_ref)
+        dmean_ref[:] = jnp.zeros_like(dmean_ref)
 
     xp = pix_ref[0, 0:1, :]
     yp = pix_ref[0, 1:2, :]
     mask = pix_ref[0, 2:3, :]
-    wext, kx, ky = _weight_tile(static, xp, yp, mask, dtype)
+    wxy, mrow8, kx, ky = _weight_tile(static, xp, yp, mask, dtype)
     fe = fe_ref[:].astype(dtype)
     lat = lat_in_ref[:].astype(dtype)   # forward residual, not recomputed
     emb = emb_ref[:].astype(dtype)
@@ -535,12 +553,15 @@ def _bwd_kernel(static: PixelStatic, trunks_def, seed_ref, pix_ref, emb_ref,
         demb = demb + demb_o
     demb_ref[:] = demb
 
-    # feature-map cotangent: dfeT += wext @ dlat  (HW+128, C_pad)
+    # feature-map cotangent: dfeT += wxy @ dlat (HW, C_pad); the mean path's
+    # cotangent accumulates separately (dmean += mrow8 @ dlat, row 0 live)
     dlat_c = dlat.astype(dtype)
-    dfe_ref[:] += jnp.dot(wext, dlat_c, preferred_element_type=jnp.float32)
+    dfe_ref[:] += jnp.dot(wxy, dlat_c, preferred_element_type=jnp.float32)
+    dmean_ref[0] += jnp.dot(mrow8, dlat_c,
+                            preferred_element_type=jnp.float32)
 
     # pixel-coordinate cotangents via the Keys-cubic derivative:
-    #   dW[q, p] = sum_c feT[q, c] * dlat[p, c]   (HW+128, BLK)
+    #   dW[q, p] = sum_c feT[q, c] * dlat[p, c]   (HW, BLK)
     #   dxp[p]   = sum_{r,c} dW[(r,c), p] * ky[r, p] * d/dxp K(c - xp)
     # The (ky (x) gx) / (gy (x) kx) weights are SEPARABLE, so the double sum
     # factorizes into two cheap stages over the (Hf, Wf, BLK) view instead
@@ -548,7 +569,7 @@ def _bwd_kernel(static: PixelStatic, trunks_def, seed_ref, pix_ref, emb_ref,
     # tile path (the tiles were the VPU cost center, xplane r4/r5)
     dw3 = jax.lax.dot_general(
         fe, dlat_c, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)[:hw, :].reshape(
+        preferred_element_type=jnp.float32).reshape(
             static.hf, static.wf, static.block)
     cxi = jax.lax.broadcasted_iota(jnp.int32, (static.wf, static.block),
                                    0).astype(jnp.float32)
@@ -567,12 +588,12 @@ def _bwd_kernel(static: PixelStatic, trunks_def, seed_ref, pix_ref, emb_ref,
 
 
 def _fused_pixel_bwd(static: PixelStatic, res, cots):
-    trunks_k, fe, pix, emb, a_list, lat_res, y3, seed_arr = res
+    trunks_k, fe, mean_k, pix, emb, a_list, lat_res, y3, seed_arr = res
     dy_lm, dx_last = cots   # dy arrives lanes-major (8, M), dense lanes
     m = emb.shape[0]
     dy3 = _lm_blocks(dy_lm, static.block)
     block, bps = static.block, static.bps
-    hw_ext = static.hf * static.wf + 128
+    hw = static.hf * static.wf
     c_pad = fe.shape[1]
     n_hidden = static.n_layers - 1
     # 2-D (scene, block-in-scene) grid: dfe revisits its per-scene output
@@ -614,11 +635,14 @@ def _fused_pixel_bwd(static: PixelStatic, res, cots):
 
     out_shapes = [
         jax.ShapeDtypeStruct(fe.shape, jnp.float32),            # dfeT
+        jax.ShapeDtypeStruct(mean_k.shape, jnp.float32),        # dmean8
         jax.ShapeDtypeStruct((m // block, 8, block), jnp.float32),  # dpix
         jax.ShapeDtypeStruct((m, emb.shape[1]), jnp.float32),   # demb
     ]
     out_specs = [
-        pl.BlockSpec((hw_ext, c_pad), lambda i, j: (i, 0),
+        pl.BlockSpec((hw, c_pad), lambda i, j: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 8, c_pad), lambda i, j: (i, 0, 0),
                      memory_space=pltpu.VMEM),
         lm3(),
         blk_spec(emb.shape[1]),
@@ -642,7 +666,7 @@ def _fused_pixel_bwd(static: PixelStatic, res, cots):
     if static.need_xlast:
         in_specs.append(blk_spec(dx_last.shape[1]))
         operands.append(dx_last)
-    in_specs.append(pl.BlockSpec((hw_ext, c_pad), lambda i, j: (i, 0),
+    in_specs.append(pl.BlockSpec((hw, c_pad), lambda i, j: (i, 0),
                                  memory_space=pltpu.VMEM))       # feT band
     operands.append(fe)
     in_specs += [_rep_spec(op) for op in ops]
@@ -668,7 +692,8 @@ def _fused_pixel_bwd(static: PixelStatic, res, cots):
         **_vmem_kwargs(static.interpret),
     )(*operands)
 
-    dfe, dpix, demb = outs[0], _pix_unblocks(outs[1]), outs[2]
+    dfe, dmean = outs[0], outs[1]
+    dpix, demb = _pix_unblocks(outs[2]), outs[3]
 
     def unpack_d(chunk, trunk: PixelTrunk):
         it = iter(chunk)
@@ -681,11 +706,11 @@ def _fused_pixel_bwd(static: PixelStatic, res, cots):
         dbs = tuple(o[0:1] for o in it)  # db lives in row 0
         return PixelTrunk(dwx, dwlat, dwemb, dbs)
 
-    d_hand = unpack_d(outs[3:3 + n_dh], trunks_k[0])
+    d_hand = unpack_d(outs[4:4 + n_dh], trunks_k[0])
     d_obj = None
     if static.has_obj:
-        d_obj = unpack_d(outs[3 + n_dh:], trunks_k[1])
-    return (d_hand, d_obj), dfe, dpix, demb, None
+        d_obj = unpack_d(outs[4 + n_dh:], trunks_k[1])
+    return (d_hand, d_obj), dfe, dmean, dpix, demb, None
 
 
 fused_pixel_decoder.defvjp(_fused_pixel_fwd, _fused_pixel_bwd)
@@ -770,15 +795,19 @@ def make_fused_train_decoder_pixel(specs: Specs,
         assert n % block == 0, (n, block)
         bps = n // block
 
-        # per-scene transposed+extended feature table (B*(HW+128), C_pad):
-        # rows 0..HW-1 the flattened map, row HW the mean feature
+        # per-scene flattened feature table (B*HW, C_pad) + the mean feature
+        # as a SEPARATE (B, 8, C_pad) operand: no extended table is ever
+        # concatenated/copied on the XLA side (the old (B, HW+128, C) build
+        # cost ~5 ms/step of concat + layout copies at b64, xplane r5); the
+        # kernel folds the out-of-image mean fallback in via an (8, BLK)
+        # selector matmul
         flat = fmap.astype(jnp.float32).reshape(b, hw, c)
-        mean = flat.mean(axis=1, keepdims=True)
-        fe = jnp.concatenate(
-            [flat, mean, jnp.zeros((b, 127, c), jnp.float32)], axis=1)
+        mean = flat.mean(axis=1)                        # (B, C)
+        fe = flat.reshape(b * hw, c)
+        mean8 = jnp.broadcast_to(mean[:, None, :], (b, 8, c))
         if c_pad != c:
-            fe = jnp.pad(fe, ((0, 0), (0, 0), (0, c_pad - c)))
-        fe = fe.reshape(b * (hw + 128), c_pad)
+            fe = jnp.pad(fe, ((0, 0), (0, c_pad - c)))
+            mean8 = jnp.pad(mean8, ((0, 0), (0, 0), (0, c_pad - c)))
 
         # camera projection in the EXACT float sequence of the XLA path
         # (ops/geometry.pixel_alignment + grid_sample_bicubic, reference
@@ -822,7 +851,8 @@ def make_fused_train_decoder_pixel(specs: Specs,
             n_layers, inject_pattern, dropout_pattern, keep, block,
             specs.compute_dtype, bool(train), interpret, bool(need_cls),
             bps, hf, wf, combined, not combined)
-        y, x_last = fused_pixel_decoder(static, trunks, fe, pix, emb_in, seed)
+        y, x_last = fused_pixel_decoder(static, trunks, fe, mean8, pix,
+                                        emb_in, seed)
         logits = classifier_apply(trunk_params, x_last) if need_cls else None
         # y is lanes-major (8, M): row slices are free, and the losses
         # flatten to 1-D anyway
