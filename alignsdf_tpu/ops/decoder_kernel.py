@@ -1049,24 +1049,29 @@ def make_fused_pixel_grid_kernel_t(
         xp = jnp.where(in_img, xi * pr(25), 0.0)
         yp = jnp.where(in_img, yi * pr(26), 0.0)
 
-        # ---- separable bicubic weight tile (HW + 128, BLK)
+        # ---- separable bicubic weight tile (HW, BLK) + 8-row mean selector.
+        # The 0/1 mask folds into the 1-D kx taps (bit-exact: a*1 = a,
+        # finite*0 = 0) and the mean-fallback column block stays separate, so
+        # no (HW+128, BLK) concatenated tile is ever copied in VMEM; the
+        # split matmul is bit-exact (masked taps accumulate exact zeros).
         # tpu.iota is integer-only; convert for the tap-distance arithmetic
         cxi = jax.lax.broadcasted_iota(jnp.int32, (wf, block), 0).astype(
             jnp.float32)
         cyi = jax.lax.broadcasted_iota(jnp.int32, (hf, block), 0).astype(
             jnp.float32)
-        kx = _keys_cubic(cxi - xp)                     # (Wf, BLK)
+        kx = _keys_cubic(cxi - xp) * mask              # (Wf, BLK), masked
         ky = _keys_cubic(cyi - yp)                     # (Hf, BLK)
         wxy = (ky[:, None, :] * kx[None, :, :]).reshape(hw, block)
-        wxy = wxy * mask
-        mrow = jnp.zeros((128, block), jnp.float32)
-        mrow = mrow + jnp.where(
-            jax.lax.broadcasted_iota(jnp.int32, (128, block), 0) == 0,
-            1.0 - mask, 0.0)
-        wext = jnp.concatenate([wxy, mrow], axis=0).astype(compute_dtype)
+        wxy = wxy.astype(compute_dtype)
+        mrow8 = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (8, block), 0) == 0,
+            1.0 - mask, 0.0).astype(compute_dtype)
 
-        lat = jnp.dot(b["F"][:], wext,
+        fref = b["F"][:]
+        lat = jnp.dot(fref[:, :hw], wxy,
                       preferred_element_type=jnp.float32)  # (L_pad, BLK)
+        lat = lat + jnp.dot(fref[:, hw:hw + 8], mrow8,
+                            preferred_element_type=jnp.float32)
         lat = lat.astype(compute_dtype)
 
         acc = b["b_sdf"][:]

@@ -718,7 +718,10 @@ fused_pixel_decoder.defvjp(_fused_pixel_fwd, _fused_pixel_bwd)
 
 def make_fused_train_decoder_pixel(specs: Specs,
                                    interpret: Optional[bool] = None,
-                                   block_cap: int = 512):
+                                   block_cap: int = 2000):
+    # block_cap 2000: with the feature map as a separate operand (no
+    # extended-table build) bps=1 measured best — no per-scene dfe window
+    # revisits (r5 sweep: block 2000 -> 1,715 samples/s vs 400 -> 1,702)
     """decode(decoder_params, fmap (B, Hf, Wf, C) NHWC, emb (M, pfs), xyz
     (M, 3), cam_intr (B, 3, 3+), pred_root (B, 1, 3), seed, train) ->
     (sdf_h, sdf_o, logits) via fused_pixel_decoder, or None when the config
