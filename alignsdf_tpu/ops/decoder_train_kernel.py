@@ -123,11 +123,15 @@ def _fwd_kernel(static, seed_ref, x0_ref, *refs):
         # scene-table block for the scene-factored variant
         acc = acc + b_refs[layer][0:1, :]
         if layer < n_layers - 1:
-            a_refs[layer][:] = acc.astype(a_refs[layer].dtype)  # residual
             x = jnp.maximum(acc, 0.0)
             if train and dropout_p[layer]:
                 x = x * _dropout_gate(seed, layer, x.shape[0], x.shape[1],
                                       keep, gid)
+            # residual = the GATED activation: backward recovers the combined
+            # relu*dropout gate as (acts > 0) / keep (acts > 0 iff a > 0 and
+            # the unit was kept) — no PRNG replay in backward (r5: the gate
+            # hash was ~7G VPU ops/step per direction at b64)
+            a_refs[layer][:] = x.astype(a_refs[layer].dtype)
             x = x.astype(dtype)
         else:
             # scene variant keeps only 8 live output lanes (out_dim <= 2):
@@ -235,18 +239,16 @@ def _bwd_kernel(static, seed_ref, x0_ref, dy_ref, *refs):
     x0 = x0_ref[:].astype(dtype)
     blk = x0.shape[0]
 
-    # phase 1: recompute layer inputs x_l and combined relu*dropout gates
-    # (x_l = relu(a) * dropgate == a * gate, since gate is 0 wherever a <= 0)
+    # phase 1: the residuals ARE the gated layer inputs x_l; the combined
+    # relu*dropout gate is (x_l > 0) / keep exactly (x_l = a * gate > 0 iff
+    # a > 0 and the unit was kept) — no gate-PRNG replay
     xs = [x0]
     gates = []
     for layer in range(n_layers - 1):
-        a = a_refs[layer][:].astype(jnp.float32)  # residuals may be bf16
-        gate = (a > 0.0).astype(jnp.float32)
-        if train and dropout_p[layer]:
-            gate = gate * _dropout_gate(seed, layer, blk, a.shape[1], keep,
-                                        gid)
-        gates.append(gate)
-        xs.append((a * gate).astype(dtype))
+        a = a_refs[layer][:].astype(jnp.float32)  # gated acts, may be bf16
+        scale = (1.0 / keep) if (train and dropout_p[layer]) else 1.0
+        gates.append((a > 0.0).astype(jnp.float32) * jnp.float32(scale))
+        xs.append(a.astype(dtype))
 
     def mm_t_lhs(x, d):  # x^T @ d without an explicit transpose
         return jax.lax.dot_general(x, d.astype(dtype),
@@ -448,11 +450,12 @@ def _fwd_kernel_scene(static, seed_ref, x0_ref, *refs):
                                 preferred_element_type=jnp.float32)
         acc = acc + b_refs[layer][0:1, :]
         if layer < n_layers - 1:
-            a_refs[layer][:] = acc.astype(a_refs[layer].dtype)
             x = jnp.maximum(acc, 0.0)
             if train and dropout_p[layer]:
                 x = x * _dropout_gate(seed, layer, x.shape[0], x.shape[1],
                                       keep, gid)
+            # gated-activation residual (see the generic kernel note)
+            a_refs[layer][:] = x.astype(a_refs[layer].dtype)
             x = x.astype(dtype)
         else:
             rows = jax.lax.dot_general(
@@ -593,16 +596,15 @@ def _bwd_kernel_scene(static, seed_ref, emb_ref, dy_ref, *refs):
     x0 = emb_ref[:].astype(dtype)
     blk = x0.shape[0]
 
+    # gated-activation residuals: gate = (x_l > 0) / keep exactly, no
+    # gate-PRNG replay (see the generic kernel note)
     xs = [x0]
     gates = []
     for layer in range(n_layers - 1):
         a = a_refs[layer][:].astype(jnp.float32)
-        gate = (a > 0.0).astype(jnp.float32)
-        if train and dropout_p[layer]:
-            gate = gate * _dropout_gate(seed, layer, blk, a.shape[1], keep,
-                                        gid)
-        gates.append(gate)
-        xs.append((a * gate).astype(dtype))
+        scale = (1.0 / keep) if (train and dropout_p[layer]) else 1.0
+        gates.append((a > 0.0).astype(jnp.float32) * jnp.float32(scale))
+        xs.append(a.astype(dtype))
 
     def mm_t_lhs(x, d):
         return jax.lax.dot_general(x, d.astype(dtype),

@@ -11,19 +11,22 @@ pixel kernel (ops/decoder_kernel.make_fused_pixel_grid_kernel_t):
 
   * the Keys cubic's (-2, 2) support means evaluating K(col - x_pix) for ALL
     Hf/Wf rows/columns yields exactly the 4 tap weights per axis; the
-    separable (HW+128, BLK) weight tile (last 128 rows carry the mean-feature
-    fallback) never leaves VMEM;
-  * latent = wext^T @ feT — one MXU matmul per block against the scene's
-    (HW+128, C_pad) transposed feature map (DMA'd per scene group of blocks);
-  * backward re-derives the weight tile and emits three cotangents the XLA
-    side finishes off: d(feature map) as a per-scene (HW+128, C_pad) table
-    (dfeT = wext @ dlat), d(pixel coords) via the Keys-cubic derivative
-    (dxp = sum_hw [ky (x) K'_x] * (feT @ dlat^T), flowing to the predicted
-    MANO root through the projection), and d(embedding columns);
+    separable (HW, BLK) weight tile never leaves VMEM, and the mean-feature
+    fallback enters as a separate (8, BLK) selector against a (B, 8, C_pad)
+    mean operand (no extended table is ever concatenated on the XLA side);
+  * latent = wxy^T @ feT + mrow8^T @ mean8 — MXU matmuls per block against
+    the scene's (HW, C_pad) flattened feature map (a reshape of the NHWC
+    HeadNet output, DMA'd per scene group of blocks);
+  * backward re-derives the weight tile and emits four cotangents the XLA
+    side finishes off: d(feature map) as a per-scene (HW, C_pad) table
+    (dfeT = wxy @ dlat) plus d(mean), d(pixel coords) via the Keys-cubic
+    derivative (factorized separably, flowing to the predicted MANO root
+    through the projection), and d(embedding columns);
   * the trunk chain (both branches + classifier input) is the proven
-    points-major train-kernel structure: residual pre-activations stored,
-    ReLU/dropout gates recomputed in backward, dW/db accumulated in VMEM
-    across the sequential grid.
+    points-major train-kernel structure: residual GATED activations stored
+    (the combined ReLU/dropout gate is recovered exactly as (acts > 0)/keep
+    — no gate-PRNG replay in backward), dW/db accumulated in VMEM across
+    the sequential grid.
 
 Both trunks run in ONE kernel so the bicubic matmuls (the expensive part:
 ~(HW+128) x C per point per matmul) are paid once, not per branch.
@@ -190,11 +193,13 @@ def _trunk_forward(static: PixelStatic, trunk_refs, lat, emb, seed, gid,
             acc = acc + jnp.dot(emb, wemb[layer][:],
                                 preferred_element_type=jnp.float32)
         if layer < static.n_layers - 1:
-            a_refs[layer][:] = acc.astype(a_refs[layer].dtype)
             x = jnp.maximum(acc, 0.0)
             if static.train and static.dropout_p[layer]:
                 x = x * _dropout_gate(seed, layer + seed_off, x.shape[0],
                                       x.shape[1], static.keep, gid)
+            # gated-activation residual: backward recovers the combined
+            # relu*dropout gate as (acts > 0) / keep — no PRNG replay
+            a_refs[layer][:] = x.astype(a_refs[layer].dtype)
             x = x.astype(dtype)
         else:
             return acc
@@ -406,17 +411,16 @@ def _trunk_backward(static: PixelStatic, trunk_refs, d_refs, a_refs, lat, emb,
     x0l = _x0_layers(static)
     blk = emb.shape[0]
 
-    # recompute activations and combined relu*dropout gates from residuals
+    # the residuals ARE the gated activations; the combined relu*dropout
+    # gate is (acts > 0) / keep exactly — no gate-PRNG replay in backward
     acts = []
     gates = []
     for layer in range(static.n_layers - 1):
         a = a_refs[layer][:].astype(jnp.float32)
-        gate = (a > 0.0).astype(jnp.float32)
-        if static.train and static.dropout_p[layer]:
-            gate = gate * _dropout_gate(seed, layer + seed_off, blk,
-                                        a.shape[1], static.keep, gid)
-        gates.append(gate)
-        acts.append((a * gate).astype(dtype))
+        scale = (1.0 / static.keep) if (static.train
+                                        and static.dropout_p[layer]) else 1.0
+        gates.append((a > 0.0).astype(jnp.float32) * jnp.float32(scale))
+        acts.append(a.astype(dtype))
 
     def mm_t_lhs(x, d):
         return jax.lax.dot_general(x, d.astype(dtype),
