@@ -128,8 +128,11 @@ class Reconstructor:
                     make_fused_pixel_grid_decode_fn,
                 )
 
-                # block 512 measured best at 256^3 (128/256/512/1024 ->
-                # 25.0/30.7/32.9/32.7 M q/s)
+                # banded sampling contraction (band="auto") with block 512:
+                # 40.9M q/s bf16 at 256^3 vs 34.2M full-contraction (r5;
+                # banded sweep 512/1024/2048 -> 40.9/39.3/40.4, full best
+                # 1024 -> 34.4); wide-span cameras fall back to the full
+                # kernel inside the same program
                 grid_decode_fn = make_fused_pixel_grid_decode_fn(
                     specs, cube_dim, block=512, dtype=kdtype,
                     ref_projection=pixel_ref_projection)

@@ -891,6 +891,7 @@ def make_fused_pixel_grid_kernel_t(
     n: int,
     block: int = 128,
     interpret: bool = False,
+    band: Optional[int] = None,
 ):
     """Lanes-major fused grid decoder with in-kernel pixel-aligned latents.
 
@@ -904,6 +905,19 @@ def make_fused_pixel_grid_kernel_t(
       [25]    (Wf - 1) / image_size
       [26]    (Hf - 1) / image_size
       [27]    image_size
+
+    ``band``: optional BANDED sampling contraction.  A kernel block is a run
+    of consecutive grid indices = a few z-lines; along a z-line the projected
+    feature row yp is a Moebius function of z (monotone while the camera
+    depth zh keeps its sign), so per-line endpoint projections bound every
+    in-image row the block's bicubic taps can touch.  The kernel then
+    contracts only ``band`` rows of the (transposed) feature table — the
+    sampling matmul is the dominant MXU cost at 2.1 MFLOP/query for a 64x64
+    map (BASELINE.md r5 roofline), and shrinks by Hf/band.  Excluded rows
+    carry exactly-zero Keys weights (support (-2,2)), so the banded result
+    is exact.  A traced ``fits`` flag falls back to the full kernel whenever
+    the bound fails (zh sign change inside a line, band too narrow for the
+    span), so correctness never depends on camera geometry.
     """
     num_class = classifier[2] if classifier is not None else 0
     plans = [p for p in (hand_plan, obj_plan) if p is not None]
@@ -980,20 +994,30 @@ def make_fused_pixel_grid_kernel_t(
         b_cls = b_cls.at[2:2 + num_class, 0].set(cb[0, :num_class])
         add("cls", 0, cls_t)
         add("b_cls", 0, b_cls)
-    add("F", 0, feat_ext.astype(compute_dtype)
-        if compute_dtype != jnp.float32 else feat_ext)
+    feat_c = (feat_ext.astype(compute_dtype)
+              if compute_dtype != jnp.float32 else feat_ext)
+    # banded variant operands: transposed map (hw, L_pad) so the band is a
+    # dynamic SUBLANE slice (the train kernel's proven layout,
+    # decoder_train_pixel._fwd_kernel), plus the 8 mean-fallback rows
+    if band is not None:
+        assert 0 < band < hf, (band, hf)
+        feat_t = feat_c[:, :hw].T          # (hw, L_pad)
+        feat_m = feat_c[:, hw:hw + 8].T    # (8, L_pad)
+        # r0*wf must sit on a VMEM tile boundary (32 sublanes covers both
+        # f32 and bf16 tiles)
+        row_align = max(1, -(-32 // wf))
 
     none_h = [None] * max(n_hidden_h, 1)
     none_o = [None] * max(n_hidden_o, 1)
 
-    def bind(refs):
+    def bind(refs, tags_v):
         bound = {
             "h_mm": list(none_h), "h_xyz": list(none_h), "h_b": list(none_h),
             "h_lat": list(none_h),
             "o_mm": list(none_o), "o_xyz": list(none_o), "o_b": list(none_o),
             "o_lat": list(none_o),
         }
-        for (tag, i), ref in zip(tags, refs):
+        for (tag, i), ref in zip(tags_v, refs):
             if tag in bound:
                 bound[tag][i] = ref
             else:
@@ -1016,9 +1040,15 @@ def make_fused_pixel_grid_kernel_t(
             x = jnp.maximum(acc, 0.0).astype(compute_dtype)
         return x
 
-    def kernel(scal_ref, base_ref, *op_refs):
+    def kernel(banded, tags_v, *all_refs):
+        if banded:
+            rlo_ref, scal_ref, base_ref = all_refs[:3]
+            op_refs = all_refs[3:]
+        else:
+            scal_ref, base_ref = all_refs[:2]
+            op_refs = all_refs[2:]
         out_ref = op_refs[-1]
-        b = bind(op_refs[:-1])
+        b = bind(op_refs[:-1], tags_v)
 
         p = (base_ref[0] + pl.program_id(0) * block
              + jax.lax.broadcasted_iota(jnp.int32, (1, block), 1))
@@ -1057,21 +1087,38 @@ def make_fused_pixel_grid_kernel_t(
         # tpu.iota is integer-only; convert for the tap-distance arithmetic
         cxi = jax.lax.broadcasted_iota(jnp.int32, (wf, block), 0).astype(
             jnp.float32)
-        cyi = jax.lax.broadcasted_iota(jnp.int32, (hf, block), 0).astype(
-            jnp.float32)
         kx = _keys_cubic(cxi - xp) * mask              # (Wf, BLK), masked
-        ky = _keys_cubic(cyi - yp)                     # (Hf, BLK)
-        wxy = (ky[:, None, :] * kx[None, :, :]).reshape(hw, block)
-        wxy = wxy.astype(compute_dtype)
         mrow8 = jnp.where(
             jax.lax.broadcasted_iota(jnp.int32, (8, block), 0) == 0,
             1.0 - mask, 0.0).astype(compute_dtype)
 
-        fref = b["F"][:]
-        lat = jnp.dot(fref[:, :hw], wxy,
-                      preferred_element_type=jnp.float32)  # (L_pad, BLK)
-        lat = lat + jnp.dot(fref[:, hw:hw + 8], mrow8,
-                            preferred_element_type=jnp.float32)
+        if banded:
+            # contract only the block's tap-reachable rows: excluded rows
+            # have exactly-zero Keys weights, so the result is exact
+            r0 = rlo_ref[pl.program_id(0)]
+            cyi = (jax.lax.broadcasted_iota(jnp.int32, (band, block), 0)
+                   + r0).astype(jnp.float32)
+            ky = _keys_cubic(cyi - yp)                 # (band, BLK)
+            wxy = (ky[:, None, :] * kx[None, :, :]).reshape(band * wf, block)
+            wxy = wxy.astype(compute_dtype)
+            f_band = b["FT"][pl.ds(r0 * wf, band * wf), :]
+            lat = jax.lax.dot_general(
+                f_band, wxy, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)    # (L_pad, BLK)
+            lat = lat + jax.lax.dot_general(
+                b["FM"][:], mrow8, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        else:
+            cyi = jax.lax.broadcasted_iota(jnp.int32, (hf, block), 0).astype(
+                jnp.float32)
+            ky = _keys_cubic(cyi - yp)                 # (Hf, BLK)
+            wxy = (ky[:, None, :] * kx[None, :, :]).reshape(hw, block)
+            wxy = wxy.astype(compute_dtype)
+            fref = b["F"][:]
+            lat = jnp.dot(fref[:, :hw], wxy,
+                          preferred_element_type=jnp.float32)  # (L_pad, BLK)
+            lat = lat + jnp.dot(fref[:, hw:hw + 8], mrow8,
+                                preferred_element_type=jnp.float32)
         lat = lat.astype(compute_dtype)
 
         acc = b["b_sdf"][:]
@@ -1101,6 +1148,66 @@ def make_fused_pixel_grid_kernel_t(
             out = out + b["b_cls"][:]
         out_ref[:] = out
 
+    projf = proj.astype(jnp.float32)
+
+    def _band_plan(origin, voxel, base, m_pad):
+        """Per-kernel-block feature-row band starts + a global fits flag.
+
+        Replicates the kernel's exact f32 projection sequence at each
+        z-line's two endpoints; while zh keeps its sign along a line, yp is
+        monotone in z, so the (image-clamped) endpoint values bound every
+        in-image row the line can touch.  A +-2-row margin absorbs ulp-level
+        reassociation between XLA and Mosaic."""
+        n_blocks = m_pad // block
+        n_lines = m_pad // n + 3
+        lin = base // n + jnp.arange(n_lines, dtype=jnp.int32)
+        voxf = jnp.asarray(voxel, jnp.float32)
+        orif = origin.astype(jnp.float32)
+        xf = (lin // n % n).astype(jnp.float32) * voxf + orif[0]
+        yf = (lin % n).astype(jnp.float32) * voxf + orif[1]
+
+        def yp_zh(zf):
+            e = [projf[0 + j] * xf + projf[3 + j] * yf + projf[6 + j] * zf
+                 + projf[9 + j] for j in range(3)]
+            s2 = projf[24]
+            xc = e[0] * s2 + projf[21]
+            yc = e[1] * s2 + projf[22]
+            zc = e[2] * s2 + projf[23]
+            yh = projf[15] * xc + projf[16] * yc + projf[17] * zc
+            zh = projf[18] * xc + projf[19] * yc + projf[20] * zc
+            return (yh * (1.0 / zh)) * projf[26], zh
+
+        yp0, zh0 = yp_zh(jnp.float32(0.0) * voxf + orif[2])
+        yp1, zh1 = yp_zh(jnp.float32(n - 1) * voxf + orif[2])
+        same_sign = zh0 * zh1 > 0.0        # False on NaN / zero / pole
+        lo = jnp.maximum(jnp.minimum(yp0, yp1), 0.0)
+        hi = jnp.minimum(jnp.maximum(yp0, yp1), jnp.float32(hf - 1))
+        empty = hi < lo                    # line fully out of image in y
+        big = jnp.float32(1e9)
+        lo = jnp.where(empty, big, lo)
+        hi = jnp.where(empty, -big, hi)
+
+        # fold lines into per-block windows: block i touches line offsets
+        # [i*block//n, ((i+1)*block-1)//n + 1] (the +1 covers base % n != 0)
+        k = block // n + 2
+        lo_p = jnp.concatenate([lo, jnp.full((k,), big, jnp.float32)])
+        hi_p = jnp.concatenate([hi, jnp.full((k,), -big, jnp.float32)])
+        starts = (jnp.arange(n_blocks, dtype=jnp.int32) * block) // n
+        blo = jax.vmap(
+            lambda s: jnp.min(jax.lax.dynamic_slice(lo_p, (s,), (k,))))(starts)
+        bhi = jax.vmap(
+            lambda s: jnp.max(jax.lax.dynamic_slice(hi_p, (s,), (k,))))(starts)
+        blk_empty = bhi < blo
+        r_raw = jnp.floor(jnp.minimum(blo, big)).astype(jnp.int32) - 2
+        r_hi = (hf - band) // row_align * row_align
+        r0 = jnp.clip(r_raw // row_align * row_align, 0, r_hi)
+        r0 = jnp.where(blk_empty, 0, r0)
+        req_top = jnp.minimum(
+            jnp.floor(jnp.clip(bhi, -big, big)).astype(jnp.int32) + 3, hf - 1)
+        fits = (jnp.all(same_sign)
+                & jnp.all(blk_empty | (req_top < r0 + band)))
+        return r0.astype(jnp.int32), fits
+
     def run(idx: jax.Array, origin: jax.Array, voxel: jax.Array):
         m = idx.shape[0]
         m_pad = _round_up(m, block)
@@ -1110,44 +1217,66 @@ def make_fused_pixel_grid_kernel_t(
              proj.astype(jnp.float32).reshape(-1)])
         base = idx[0].astype(jnp.int32).reshape(1)
 
-        op_specs = [
-            pl.BlockSpec(op.shape, partial(lambda nd, i: (0,) * nd, len(op.shape)),
-                         memory_space=pltpu.VMEM)
-            for op in ops
-        ]
         kwargs = {}
         if not interpret:
             # resident F (4.3 MB f32) + both trunks + the (HW, BLK) weight
             # tile overflow the default scoped-VMEM budget; v5e has 128 MB
             kwargs["compiler_params"] = pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024)
-        out = pl.pallas_call(
-            kernel,
-            grid=(m_pad // block,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                *op_specs,
-            ],
-            out_specs=pl.BlockSpec((8, block), lambda i: (0, i),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((8, m_pad), jnp.float32),
-            interpret=interpret,
-            **kwargs,
-        )(scal, base, *ops)
+
+        def call(banded, rlo):
+            if banded:
+                tags_v = tags + [("FT", 0), ("FM", 0)]
+                ops_v = ops + [feat_t, feat_m]
+                pre = [rlo, scal, base]
+            else:
+                tags_v = tags + [("F", 0)]
+                ops_v = ops + [feat_c]
+                pre = [scal, base]
+            op_specs = [
+                pl.BlockSpec(op.shape,
+                             partial(lambda nd, i: (0,) * nd, len(op.shape)),
+                             memory_space=pltpu.VMEM)
+                for op in ops_v
+            ]
+            return pl.pallas_call(
+                partial(kernel, banded, tags_v),
+                grid=(m_pad // block,),
+                in_specs=[
+                    *([pl.BlockSpec(memory_space=pltpu.SMEM)] * len(pre)),
+                    *op_specs,
+                ],
+                out_specs=pl.BlockSpec((8, block), lambda i: (0, i),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((8, m_pad), jnp.float32),
+                interpret=interpret,
+                **kwargs,
+            )(*pre, *ops_v)
+
+        if band is None:
+            out = call(False, None)
+        else:
+            rlo, fits = _band_plan(origin, voxel, idx[0].astype(jnp.int32),
+                                   m_pad)
+            out = jax.lax.cond(fits,
+                               lambda: call(True, rlo),
+                               lambda: call(False, None))
 
         logits = out[2:2 + num_class, :m].T if num_class else None
         h_col = out[0, :m].reshape(m, 1)
         o_col = out[1, :m].reshape(m, 1)
         return h_col, o_col, logits
 
+    if band is not None:
+        run.band_plan = _band_plan      # introspection for tests/benchmarks
     return run
 
 
 def make_fused_pixel_grid_decode_fn(specs: Specs, n: int, block: int = 128,
                                     interpret: bool = False,
                                     dtype=jnp.float32,
-                                    ref_projection: bool = False):
+                                    ref_projection: bool = False,
+                                    band="auto"):
     """grid_decode(ctx, idx, origin, voxel) for pixel-aligned configs, or None
     when ineligible.  ctx must hold the NCHW feature map in ctx['latent'],
     plus 'cam_intr' and 'pred_root' (inference/reconstruct.py Reconstructor).
@@ -1156,6 +1285,11 @@ def make_fused_pixel_grid_decode_fn(specs: Specs, n: int, block: int = 128,
     (the reference mesh path's behavior, a train/inference inconsistency —
     see inference/grid.make_grid_evaluator docstring).  Default False
     projects the RAW grid coords like the train path.
+
+    ``band``: banded sampling contraction (make_fused_pixel_grid_kernel_t):
+    "auto" picks Hf//2 for maps of 16+ rows (runtime fallback to the full
+    contraction keeps any camera correct), an int forces a band height,
+    None disables.
     """
     from alignsdf_tpu.ops.embeddings import kinematic_embedding
 
@@ -1239,9 +1373,10 @@ def make_fused_pixel_grid_decode_fn(specs: Specs, n: int, block: int = 128,
                 if specs.classifier_branch and "classifier_head" in dp["hand"]
                 else None
             )
+        band_i = (hf // 2 if hf >= 16 else None) if band == "auto" else band
         run = make_fused_pixel_grid_kernel_t(
             hand_plan, obj_plan, classifier, feat_ext, (hf, wf), proj, n,
-            block=block, interpret=interpret)
+            block=block, interpret=interpret, band=band_i)
         return run(idx, origin, voxel)
 
     return grid_decode

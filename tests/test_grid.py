@@ -169,6 +169,72 @@ def test_refine_cube_matches_reference():
     np.testing.assert_allclose(np.asarray(j_origin), t_origin.numpy(), atol=1e-6)
 
 
+def test_banded_pixel_grid_matches_full():
+    """The banded sampling contraction (ops/decoder_kernel, band=...) must be
+    bit-exact vs the full contraction — both when the per-block row bound
+    FITS (geometry chosen so band=32 holds at n=32: long focal ratio, far
+    root) and when it falls back (near root puts the camera plane's
+    influence inside the grid / spans exceed the band)."""
+    import dataclasses
+
+    from alignsdf_tpu.ops.decoder_kernel import (
+        branch_columns,
+        build_pixel_grid_branch_plan,
+        make_fused_pixel_grid_decode_fn,
+        make_fused_pixel_grid_kernel_t,
+    )
+
+    specs = dataclasses.replace(_small_specs(), pixel_align=True)
+    dec, variables, decode_fn = _make_decoder(specs)
+    n = 32
+    hf = wf = 64
+    rng = np.random.RandomState(3)
+    fmap = jnp.asarray(
+        rng.randn(1, specs.latent_size, hf, wf).astype(np.float32) * 0.3)
+
+    def fields(band, root_z):
+        ctx = {
+            "params": variables["params"],
+            "decoder_params": variables["params"], "latent": fmap,
+            "cam_intr": jnp.asarray([[[150.0, 0, 128, 0], [0, 150.0, 128, 0],
+                                      [0, 0, 1, 0]]], jnp.float32),
+            "pred_root": jnp.asarray([[[0.01, -0.02, root_z]]]),
+        }
+        gd = make_fused_pixel_grid_decode_fn(specs, n, block=128,
+                                             interpret=True, band=band)
+        ev = make_grid_evaluator(decode_fn, specs, n, chunk=n ** 3, mesh=None,
+                                 two_pass=True, grid_decode_fn=gd)
+        r = ev(ctx)
+        return np.asarray(r.sdf_hand), np.asarray(r.sdf_obj)
+
+    # the fitting geometry really is banded (non-vacuous): probe the plan
+    cols_h, _ = branch_columns(specs)
+    plan = build_pixel_grid_branch_plan(
+        variables["params"]["hand"], "linh", specs.latent_size,
+        jnp.eye(3), jnp.zeros((3,)), specs.network_specs, 1)
+    proj = jnp.concatenate([
+        jnp.eye(3).reshape(9), jnp.zeros(3),
+        jnp.asarray([[150.0, 0, 128], [0, 150.0, 128], [0, 0, 1]]).reshape(9),
+        jnp.asarray([0.01, -0.02, 1.2]),
+        jnp.asarray([2.0 / specs.sdf_scale_factor, (wf - 1) / 256.0,
+                     (hf - 1) / 256.0, 256.0], jnp.float32)])
+    probe = make_fused_pixel_grid_kernel_t(
+        plan, None, None, jnp.zeros((128, hf * wf + 128)), (hf, wf), proj, n,
+        block=128, interpret=True, band=32)
+    rlo, fits = probe.band_plan(jnp.full((3,), -1.0, jnp.float32),
+                                jnp.float32(2.0 / (n - 1)), jnp.int32(0),
+                                n ** 3)
+    assert bool(fits)
+    assert len(np.unique(np.asarray(rlo))) > 1  # real per-block banding
+
+    for root_z in (1.2, 0.18):   # fitting / forced-fallback
+        h_full, o_full = fields(None, root_z)
+        h_band, o_band = fields(32, root_z)
+        assert np.abs(h_band - h_full).max() == 0.0
+        assert np.abs(o_band - o_full).max() == 0.0
+        assert np.abs(h_full).max() > 0
+
+
 def test_two_pass_grid_runs_and_refines():
     specs = _small_specs()
     dec, variables, decode_fn = _make_decoder(specs)
