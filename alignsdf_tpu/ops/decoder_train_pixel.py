@@ -100,6 +100,7 @@ class PixelStatic(NamedTuple):
     wf: int
     combined: bool
     has_obj: bool
+    band: Optional[int] = None   # banded sampling contraction rows (or None)
 
 
 class PixelTrunk(NamedTuple):
@@ -145,7 +146,7 @@ def _flatten_trunk(trunk: PixelTrunk):
     return ops
 
 
-def _weight_tile(static: PixelStatic, xp, yp, mask, dtype):
+def _weight_tile(static: PixelStatic, xp, yp, mask, dtype, r0=None):
     """The (HW, BLK) separable bicubic weight tile plus the (8, BLK)
     mean-fallback selector (row 0 = 1-mask): the feature map and its mean
     stay SEPARATE kernel operands, so the XLA side never concatenates a
@@ -158,15 +159,23 @@ def _weight_tile(static: PixelStatic, xp, yp, mask, dtype):
     The 0/1 mask is folded into the 1-D kx taps BEFORE the outer product —
     bit-exact (a*1 = a, anything*0 = 0 for finite taps) and saves the
     (HW, BLK) mask multiply on the dense tile.  The returned kx is therefore
-    already masked (the backward's dyp factorization relies on this)."""
+    already masked (the backward's dyp factorization relies on this).
+
+    With ``r0`` (banded mode, static.band set) the row axis covers only
+    rows [r0, r0 + band): the caller sorted each scene's points by yp, so a
+    block's bicubic taps all land in that window and excluded rows carry
+    exactly-zero Keys weights."""
     hf, wf, block = static.hf, static.wf, static.block
+    rows = hf if r0 is None else static.band
     cxi = jax.lax.broadcasted_iota(jnp.int32, (wf, block), 0).astype(
         jnp.float32)
-    cyi = jax.lax.broadcasted_iota(jnp.int32, (hf, block), 0).astype(
-        jnp.float32)
+    cyi = jax.lax.broadcasted_iota(jnp.int32, (rows, block), 0)
+    if r0 is not None:
+        cyi = cyi + r0
+    cyi = cyi.astype(jnp.float32)
     kx = _keys_cubic(cxi - xp) * mask               # (Wf, BLK), masked
-    ky = _keys_cubic(cyi - yp)                      # (Hf, BLK)
-    wxy = (ky[:, None, :] * kx[None, :, :]).reshape(hf * wf, block)
+    ky = _keys_cubic(cyi - yp)                      # (rows, BLK)
+    wxy = (ky[:, None, :] * kx[None, :, :]).reshape(rows * wf, block)
     mrow8 = jnp.where(
         jax.lax.broadcasted_iota(jnp.int32, (8, block), 0) == 0,
         1.0 - mask, 0.0)
@@ -206,8 +215,8 @@ def _trunk_forward(static: PixelStatic, trunk_refs, lat, emb, seed, gid,
     raise AssertionError("unreachable")
 
 
-def _fwd_kernel(static: PixelStatic, trunks_def, seed_ref, pix_ref, emb_ref,
-                fe_ref, mean_ref, *refs):
+def _fwd_kernel(static: PixelStatic, trunks_def, seed_ref, rlo_ref, pix_ref,
+                emb_ref, fe_ref, mean_ref, *refs):
     n_hidden = static.n_layers - 1
     dtype = jnp.dtype(static.cdtype)
     gid = pl.program_id(0)
@@ -236,13 +245,18 @@ def _fwd_kernel(static: PixelStatic, trunks_def, seed_ref, pix_ref, emb_ref,
     xp = pix_ref[0, 0:1, :]
     yp = pix_ref[0, 1:2, :]
     mask = pix_ref[0, 2:3, :]
-    wxy, mrow8, _, _ = _weight_tile(static, xp, yp, mask, dtype)
+    r0 = rlo_ref[gid] if static.band else None
+    wxy, mrow8, _, _ = _weight_tile(static, xp, yp, mask, dtype, r0)
+    if static.band:
+        fe_rows = fe_ref[pl.ds(r0 * static.wf, static.band * static.wf), :]
+    else:
+        fe_rows = fe_ref[:]
 
     # latent = wxy^T @ feT + mrow8^T @ mean8: (BLK, C_pad), f32 accumulate.
     # Stored as a residual: recomputing it in backward costs a 283-GFLOP
     # matmul per step at production shapes vs ~0.16 ms of HBM traffic for
     # the store (xplane, BASELINE.md round 4)
-    lat = jax.lax.dot_general(wxy, fe_ref[:].astype(dtype),
+    lat = jax.lax.dot_general(wxy, fe_rows.astype(dtype),
                               (((0,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
     lat = lat + jax.lax.dot_general(mrow8, mean_ref[0].astype(dtype),
@@ -270,7 +284,7 @@ def _fwd_kernel(static: PixelStatic, trunks_def, seed_ref, pix_ref, emb_ref,
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
 def fused_pixel_decoder(static: PixelStatic, trunks, fe, mean8, pix, emb,
-                        seed):
+                        rlo, seed):
     """Both trunks fused with in-kernel pixel-aligned latents.
 
     trunks: (hand PixelTrunk, obj PixelTrunk | None);
@@ -280,14 +294,18 @@ def fused_pixel_decoder(static: PixelStatic, trunks, fe, mean8, pix, emb,
           (the out-of-image fallback; applied in-kernel via an (8, BLK)
           selector matmul);
     pix:  (8, M) f32 — rows 0/1/2 = x-pixel, y-pixel, in-image mask;
-    emb:  (M, emb_pad) embedding columns.
+    emb:  (M, emb_pad) embedding columns;
+    rlo:  (M // block,) int32 per-block feature-row band starts (banded
+          mode, static.band set; the caller sorts each scene's points by
+          yp so every block's taps fit its band — see make decode()).
+          Ignored when static.band is None.
     Returns (y (8, M) f32 LANES-MAJOR — row 0 hand sdf, row 1 obj —, x_last
     (M, h) f32); row slices of the dense-lane (8, M) form are free where the
     (M, 8) form made XLA materialize ~2 ms/step of 8-lane pad/copy glue per
     trunk for the y slice and dy cotangent (BASELINE.md round 4).
     """
     (y, x_last), _ = _fused_pixel_fwd(static, trunks, fe, mean8, pix, emb,
-                                      seed)
+                                      rlo, seed)
     return y, x_last
 
 
@@ -309,7 +327,8 @@ def _pix_unblocks(pix3: jax.Array) -> jax.Array:
     return pix3.transpose(1, 0, 2).reshape(8, nb * block)
 
 
-def _fused_pixel_fwd(static: PixelStatic, trunks, fe, mean8, pix, emb, seed):
+def _fused_pixel_fwd(static: PixelStatic, trunks, fe, mean8, pix, emb, rlo,
+                     seed):
     m = emb.shape[0]
     block, bps = static.block, static.bps
     assert m % block == 0, (m, block)
@@ -364,11 +383,13 @@ def _fused_pixel_fwd(static: PixelStatic, trunks, fe, mean8, pix, emb, seed):
     out_specs.append(pl.BlockSpec((block, c_pad), lambda i: (i, 0),
                                   memory_space=pltpu.VMEM))
 
+    rlo_arr = jnp.asarray(rlo, jnp.int32).reshape(m // block)
     outs = pl.pallas_call(
         partial(_fwd_kernel, static, trunks_k),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),                 # seed
+            pl.BlockSpec(memory_space=pltpu.SMEM),                 # rlo
             # Mosaic requires the block's lane dim to be 128-divisible OR
             # equal to the array's: a (n_blocks, 8, block) layout makes the
             # per-block pix tile exactly one leading-index slice
@@ -386,7 +407,8 @@ def _fused_pixel_fwd(static: PixelStatic, trunks, fe, mean8, pix, emb, seed):
         out_shape=out_shapes,
         interpret=static.interpret,
         **_vmem_kwargs(static.interpret),
-    )(seed_arr, _pix_blocks(pix, block), emb.astype(dt), fe_k, mean_k, *ops)
+    )(seed_arr, rlo_arr, _pix_blocks(pix, block), emb.astype(dt), fe_k,
+      mean_k, *ops)
 
     y3 = outs[0]
     i = 1
@@ -397,7 +419,7 @@ def _fused_pixel_fwd(static: PixelStatic, trunks, fe, mean8, pix, emb, seed):
     a_list = tuple(outs[i:i + n_res])
     lat_res = outs[i + n_res]
     res = (trunks_k, fe_k, mean_k, pix, emb.astype(dt), a_list, lat_res, y3,
-           seed_arr)
+           rlo_arr, seed_arr)
     return (_lm_unblocks(y3), x_last), res
 
 
@@ -454,8 +476,8 @@ def _trunk_backward(static: PixelStatic, trunk_refs, d_refs, a_refs, lat, emb,
     return dlat_acc, demb_acc
 
 
-def _bwd_kernel(static: PixelStatic, trunks_def, seed_ref, pix_ref, emb_ref,
-                dy_ref, *refs):
+def _bwd_kernel(static: PixelStatic, trunks_def, seed_ref, rlo_ref, pix_ref,
+                emb_ref, dy_ref, *refs):
     n_hidden = static.n_layers - 1
     dtype = jnp.dtype(static.cdtype)
     # 2-D (scene, block-in-scene) grid; gid = the global block index so the
@@ -530,8 +552,13 @@ def _bwd_kernel(static: PixelStatic, trunks_def, seed_ref, pix_ref, emb_ref,
     xp = pix_ref[0, 0:1, :]
     yp = pix_ref[0, 1:2, :]
     mask = pix_ref[0, 2:3, :]
-    wxy, mrow8, kx, ky = _weight_tile(static, xp, yp, mask, dtype)
-    fe = fe_ref[:].astype(dtype)
+    r0 = rlo_ref[gid] if static.band else None
+    wxy, mrow8, kx, ky = _weight_tile(static, xp, yp, mask, dtype, r0)
+    if static.band:
+        fe = fe_ref[pl.ds(r0 * static.wf, static.band * static.wf),
+                    :].astype(dtype)
+    else:
+        fe = fe_ref[:].astype(dtype)
     lat = lat_in_ref[:].astype(dtype)   # forward residual, not recomputed
     emb = emb_ref[:].astype(dtype)
 
@@ -558,9 +585,16 @@ def _bwd_kernel(static: PixelStatic, trunks_def, seed_ref, pix_ref, emb_ref,
     demb_ref[:] = demb
 
     # feature-map cotangent: dfeT += wxy @ dlat (HW, C_pad); the mean path's
-    # cotangent accumulates separately (dmean += mrow8 @ dlat, row 0 live)
+    # cotangent accumulates separately (dmean += mrow8 @ dlat, row 0 live).
+    # Banded mode touches only the block's band rows of the per-scene
+    # window (zeroed in full at j == 0)
     dlat_c = dlat.astype(dtype)
-    dfe_ref[:] += jnp.dot(wxy, dlat_c, preferred_element_type=jnp.float32)
+    dfe_add = jnp.dot(wxy, dlat_c, preferred_element_type=jnp.float32)
+    if static.band:
+        sl = pl.ds(r0 * static.wf, static.band * static.wf)
+        dfe_ref[sl, :] = dfe_ref[sl, :] + dfe_add
+    else:
+        dfe_ref[:] += dfe_add
     dmean_ref[0] += jnp.dot(mrow8, dlat_c,
                             preferred_element_type=jnp.float32)
 
@@ -571,18 +605,21 @@ def _bwd_kernel(static: PixelStatic, trunks_def, seed_ref, pix_ref, emb_ref,
     # factorizes into two cheap stages over the (Hf, Wf, BLK) view instead
     # of building two more dense (HW, BLK) tiles: ~60% fewer VPU ops in the
     # tile path (the tiles were the VPU cost center, xplane r4/r5)
+    rows = static.band if static.band else static.hf
     dw3 = jax.lax.dot_general(
         fe, dlat_c, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32).reshape(
-            static.hf, static.wf, static.block)
+            rows, static.wf, static.block)
     cxi = jax.lax.broadcasted_iota(jnp.int32, (static.wf, static.block),
                                    0).astype(jnp.float32)
-    cyi = jax.lax.broadcasted_iota(jnp.int32, (static.hf, static.block),
-                                   0).astype(jnp.float32)
+    cyi = jax.lax.broadcasted_iota(jnp.int32, (rows, static.block), 0)
+    if static.band:
+        cyi = cyi + r0
+    cyi = cyi.astype(jnp.float32)
     gx = -_keys_cubic_grad(cxi - xp) * mask           # (Wf, BLK), masked
-    gy = -_keys_cubic_grad(cyi - yp)                  # (Hf, BLK)
+    gy = -_keys_cubic_grad(cyi - yp)                  # (rows, BLK)
     # dxp = sum_r ky[r] * (sum_c gx[c] * dw[r, c]);  kx is already masked
-    tx = jnp.sum(dw3 * gx[None, :, :], axis=1)        # (Hf, BLK)
+    tx = jnp.sum(dw3 * gx[None, :, :], axis=1)        # (rows, BLK)
     dxp = jnp.sum(ky * tx, axis=0, keepdims=True)     # (1, BLK)
     ty = jnp.sum(dw3 * gy[:, None, :], axis=0)        # (Wf, BLK)
     dyp = jnp.sum(kx * ty, axis=0, keepdims=True)
@@ -592,7 +629,8 @@ def _bwd_kernel(static: PixelStatic, trunks_def, seed_ref, pix_ref, emb_ref,
 
 
 def _fused_pixel_bwd(static: PixelStatic, res, cots):
-    trunks_k, fe, mean_k, pix, emb, a_list, lat_res, y3, seed_arr = res
+    (trunks_k, fe, mean_k, pix, emb, a_list, lat_res, y3, rlo_arr,
+     seed_arr) = res
     dy_lm, dx_last = cots   # dy arrives lanes-major (8, M), dense lanes
     m = emb.shape[0]
     dy3 = _lm_blocks(dy_lm, static.block)
@@ -662,11 +700,12 @@ def _fused_pixel_bwd(static: PixelStatic, res, cots):
 
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),                   # seed
+        pl.BlockSpec(memory_space=pltpu.SMEM),                   # rlo
         lm3(),                                                   # pix
         blk_spec(emb.shape[1]),                                  # emb
         lm3(),                                                   # dy
     ]
-    operands = [seed_arr, _pix_blocks(pix, block), emb, dy3]
+    operands = [seed_arr, rlo_arr, _pix_blocks(pix, block), emb, dy3]
     if static.need_xlast:
         in_specs.append(blk_spec(dx_last.shape[1]))
         operands.append(dx_last)
@@ -714,7 +753,7 @@ def _fused_pixel_bwd(static: PixelStatic, res, cots):
     d_obj = None
     if static.has_obj:
         d_obj = unpack_d(outs[4 + n_dh:], trunks_k[1])
-    return (d_hand, d_obj), dfe, dmean, dpix, demb, None
+    return (d_hand, d_obj), dfe, dmean, dpix, demb, None, None
 
 
 fused_pixel_decoder.defvjp(_fused_pixel_fwd, _fused_pixel_bwd)
@@ -722,10 +761,14 @@ fused_pixel_decoder.defvjp(_fused_pixel_fwd, _fused_pixel_bwd)
 
 def make_fused_train_decoder_pixel(specs: Specs,
                                    interpret: Optional[bool] = None,
-                                   block_cap: int = 2000):
-    # block_cap 2000: with the feature map as a separate operand (no
-    # extended-table build) bps=1 measured best — no per-scene dfe window
-    # revisits (r5 sweep: block 2000 -> 1,715 samples/s vs 400 -> 1,702)
+                                   block_cap: int = 2000,
+                                   band=None):
+    # block_cap 2000 for the UNBANDED kernel: with the feature map as a
+    # separate operand (no extended-table build) bps=1 measured best — no
+    # per-scene dfe window revisits (r5 sweep: block 2000 -> 1,715 samples/s
+    # vs 400 -> 1,702).  Banded mode needs bps > 1 (per-scene points sorted
+    # by feature row, each block covering a narrow band), so band != None
+    # with the default cap switches to 400 (bps 5 on 2000 pts/scene)
     """decode(decoder_params, fmap (B, Hf, Wf, C) NHWC, emb (M, pfs), xyz
     (M, 3), cam_intr (B, 3, 3+), pred_root (B, 1, 3), seed, train) ->
     (sdf_h, sdf_o, logits) via fused_pixel_decoder, or None when the config
@@ -736,6 +779,26 @@ def make_fused_train_decoder_pixel(specs: Specs,
     differentiable jnp here, so the pixel-coordinate cotangents the kernel
     emits flow to the predicted MANO root automatically; only the bicubic
     sampling + decoder chain live in the kernel.
+
+    ``band``: banded sampling contraction — MEASURED AND REJECTED as a
+    device-side default (r5, BASELINE.md): each scene's points are sorted
+    by their projected feature row (order restored outside the kernel —
+    the kernel is point-order agnostic; per-point forward values are
+    unchanged), so each block's bicubic taps land in a narrow row band and
+    the sampling matmuls (fwd latent, bwd dfe and dW — the dominant MXU
+    cost beyond the trunks) contract only band/Hf of the feature table.
+    Bounds are EXACT (computed on the same f32 pix array the kernel
+    consumes) and a traced fits flag falls back to the full contraction
+    when any block's span exceeds the band.  On device the kernels DO get
+    faster (bwd 10.2 -> 7.8 ms, fwd 4.6 -> 3.9 at b64) — but the
+    device-side permutation glue costs more than the kernels save: TPU
+    gathers on 8/16-lane rows run at ~1 GB/s effective (~7 ms/step of
+    gather/scatter fusions for pix/emb/y and their VJP transposes; the
+    sorts themselves are ~0.4 ms).  Net b64 1,678 -> 1,394 samples/s.
+    The winning variant would move the sort into the HOST loader (per
+    scene-half, keeping positional hand/obj masks valid) so no device
+    permutation exists; kept as future work.  "auto" = Hf//2 for maps of
+    16+ rows; None (default) = the exact legacy kernel, no sort.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -743,6 +806,8 @@ def make_fused_train_decoder_pixel(specs: Specs,
     if (not specs.pixel_align or not ns.weight_norm or ns.use_tanh
             or ns.latent_dropout or ns.xyz_in_all or 0 in ns.latent_in):
         return None
+    if band is not None and block_cap == 2000:
+        block_cap = 400
     block = _scene_block(specs.samples_per_scene, cap=block_cap)
     if block is None or block < 16:
         return None
@@ -834,14 +899,54 @@ def make_fused_train_decoder_pixel(specs: Specs,
         mask = in_img.astype(jnp.float32)
         xp_raw = (uv[..., 0] + 1.0) * 0.5 * (wf - 1)
         yp_raw = (uv[..., 1] + 1.0) * 0.5 * (hf - 1)
-        xp = jnp.where(in_img & jnp.isfinite(xp_raw), xp_raw, 0.0)
-        yp = jnp.where(in_img & jnp.isfinite(yp_raw), yp_raw, 0.0)
+        valid = in_img & jnp.isfinite(yp_raw) & jnp.isfinite(xp_raw)
+        xp = jnp.where(valid, xp_raw, 0.0)
+        yp = jnp.where(valid, yp_raw, 0.0)
         lane = jax.lax.broadcasted_iota(jnp.int32, (8, m), 0)
         pix = (jnp.where(lane == 0, xp.reshape(1, m), 0.0)
                + jnp.where(lane == 1, yp.reshape(1, m), 0.0)
                + jnp.where(lane == 2, mask.reshape(1, m), 0.0))
 
         emb_in = jnp.pad(emb, ((0, 0), (0, emb_pad - emb.shape[1])))
+
+        # ---- banded mode: per-scene sort by feature row + exact per-block
+        # band bounds.  The permutation is undone on the outputs below, so
+        # kernel semantics are unchanged point-for-point (only the dropout
+        # gate assignment and the order of dW/dfe accumulation differ).
+        band_i = (hf // 2 if hf >= 16 else None) if band == "auto" else band
+        if band_i is not None and bps <= 1:
+            band_i = None
+        inv = rlo = None
+        fits = None
+        if band_i is not None:
+            big = jnp.float32(1e9)
+            key = jnp.where(valid, yp, big)               # (B, N)
+            order = jnp.argsort(key, axis=1)              # stable
+            perm = (order
+                    + (jnp.arange(b, dtype=order.dtype) * n)[:, None]
+                    ).reshape(m)
+            inv = jnp.argsort(perm)
+            pix = pix[:, perm]
+            emb_in = emb_in[perm]
+            ks = jnp.take_along_axis(key, order, axis=1).reshape(
+                m // block, block)
+            kvalid = ks < big
+            lo = jnp.min(jnp.where(kvalid, ks, big), axis=1)
+            hi = jnp.max(jnp.where(kvalid, ks, -big), axis=1)
+            empty = hi < lo
+            # taps touch rows floor(yp)-1 .. floor(yp)+2, clamped to the map
+            r_bot = jnp.maximum(
+                jnp.floor(jnp.minimum(lo, big)).astype(jnp.int32) - 1, 0)
+            r_top = jnp.minimum(
+                jnp.floor(jnp.clip(hi, -big, big)).astype(jnp.int32) + 2,
+                hf - 1)
+            # r0*wf must sit on a VMEM tile boundary (32 sublanes covers
+            # f32 and bf16)
+            row_align = max(1, -(-32 // wf))
+            r_cap = (hf - band_i) // row_align * row_align
+            rlo = jnp.clip(r_bot // row_align * row_align, 0, r_cap)
+            rlo = jnp.where(empty, 0, rlo).astype(jnp.int32)
+            fits = jnp.all(empty | (r_top < rlo + band_i))
 
         if combined:
             trunk_params = decoder_params["trunk"]
@@ -858,8 +963,25 @@ def make_fused_train_decoder_pixel(specs: Specs,
             n_layers, inject_pattern, dropout_pattern, keep, block,
             specs.compute_dtype, bool(train), interpret, bool(need_cls),
             bps, hf, wf, combined, not combined)
-        y, x_last = fused_pixel_decoder(static, trunks, fe, mean8, pix,
-                                        emb_in, seed)
+        if band_i is None:
+            rlo0 = jnp.zeros((m // block,), jnp.int32)
+            y, x_last = fused_pixel_decoder(static, trunks, fe, mean8, pix,
+                                            emb_in, rlo0, seed)
+        else:
+            static_b = static._replace(band=band_i)
+
+            def call_banded():
+                return fused_pixel_decoder(static_b, trunks, fe, mean8, pix,
+                                           emb_in, rlo, seed)
+
+            def call_full():
+                return fused_pixel_decoder(static, trunks, fe, mean8, pix,
+                                           emb_in, rlo, seed)
+
+            y, x_last = jax.lax.cond(fits, call_banded, call_full)
+            # undo the per-scene sort on everything that leaves the kernel
+            y = y[:, inv]
+            x_last = x_last[inv]
         logits = classifier_apply(trunk_params, x_last) if need_cls else None
         # y is lanes-major (8, M): row slices are free, and the losses
         # flatten to 1-D anyway
@@ -867,4 +989,5 @@ def make_fused_train_decoder_pixel(specs: Specs,
 
     decode.pixel = True
     decode.block = block
+    decode.band = band
     return decode

@@ -218,6 +218,116 @@ def test_combined_decoder(setup):
     np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=1e-5)
 
 
+def test_banded_train_kernel_matches_full():
+    """Banded sampling contraction (band=...): per-scene points sorted by
+    feature row, blocks contract only a row band.  Forward must match the
+    unbanded kernel exactly (per-point term order unchanged; excluded rows
+    carry zero Keys weights), gradients must match XLA autodiff of the same
+    math; both for a tight point cluster (fits) and a wide spread
+    (runtime fallback)."""
+    hf = wf = 16
+    specs = _specs(image_size=(64, 64))
+    dec = make_decoder(specs.model_type, specs.latent_size,
+                       specs.point_feat_size, specs.encode_style, NS,
+                       specs.classifier_branch)
+    rng = np.random.RandomState(1)
+    params = dec.init(jax.random.PRNGKey(0), jnp.zeros((8, LS + 9)))["params"]
+    fmap = jnp.asarray(rng.randn(B, hf, wf, LS).astype(np.float32) * 0.5)
+    emb = jnp.asarray(rng.randn(B * N, 9).astype(np.float32) * 0.5)
+    cam = np.zeros((B, 3, 4), np.float32)
+    cam[:, 0, 0] = cam[:, 1, 1] = 80.0
+    cam[:, 0, 2] = cam[:, 1, 2] = 32.0
+    cam[:, 2, 2] = 1.0
+    cam_intr = jnp.asarray(cam)
+    pred_root = jnp.asarray(
+        np.tile(np.asarray([0.02, -0.01, 0.55], np.float32), (B, 1, 1)))
+
+    full = make_fused_train_decoder_pixel(specs, interpret=True,
+                                          block_cap=48, band=None)
+    banded = make_fused_train_decoder_pixel(specs, interpret=True,
+                                            block_cap=48, band=hf // 2)
+    assert banded.band == hf // 2 and banded.block == 48  # bps = 2
+
+    # tight cluster (fits): most points a few rows apart, a handful far
+    # out of image to exercise the mean fallback inside the banded path
+    xyz_np = rng.randn(B * N, 3).astype(np.float32) * 0.1
+    xyz_np[::17] *= 40.0
+    for xyz in (jnp.asarray(xyz_np),
+                jnp.asarray(rng.randn(B * N, 3).astype(np.float32) * 1.5)):
+        h1, o1, c1 = full(params, fmap, emb, xyz, cam_intr, pred_root,
+                          jnp.int32(3), train=False)
+        h2, o2, c2 = banded(params, fmap, emb, xyz, cam_intr, pred_root,
+                            jnp.int32(3), train=False)
+        np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), atol=1e-7)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-7)
+        np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=1e-6)
+
+        def loss_banded(p, fm, e, root):
+            h, o, c = banded(p, fm, e, xyz, cam_intr, root, jnp.int32(3),
+                             train=False)
+            return (jnp.sum(jnp.sin(h)) + jnp.sum(o ** 2)
+                    + 0.01 * jnp.sum(c ** 2))
+
+        def loss_xla(p, fm, e, root):
+            h, o, c = _xla_pixel_forward(specs, dec, p, fm, e, xyz,
+                                         cam_intr, root)
+            return (jnp.sum(jnp.sin(h)) + jnp.sum(o ** 2)
+                    + 0.01 * jnp.sum(c ** 2))
+
+        g1 = jax.grad(loss_banded, argnums=(0, 1, 2, 3))(
+            params, fmap, emb, pred_root)
+        g2 = jax.grad(loss_xla, argnums=(0, 1, 2, 3))(
+            params, fmap, emb, pred_root)
+        for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+            scale = float(jnp.abs(b).max()) + 1e-8
+            np.testing.assert_allclose(np.asarray(a) / scale,
+                                       np.asarray(b) / scale, atol=2e-5)
+
+    # active dropout: FD along the feature-map direction through the banded
+    # (sorted) path
+    xyz = jnp.asarray(xyz_np)
+
+    def f(fm):
+        h, o, c = banded(params, fm, emb, xyz, cam_intr, pred_root,
+                         jnp.int32(11), train=True)
+        return jnp.sum(jnp.sin(h)) + jnp.sum(o ** 2) + 0.01 * jnp.sum(c ** 2)
+
+    vf = jax.random.normal(jax.random.PRNGKey(5), fmap.shape)
+    eps = 1e-3
+    fd = float((f(fmap + eps * vf) - f(fmap - eps * vf)) / (2 * eps))
+    gd = float(jnp.vdot(jax.grad(f)(fmap), vf))
+    assert abs(fd - gd) / max(abs(fd), 1e-9) < 0.03
+
+
+def test_banded_fits_is_nonvacuous():
+    """The tight-cluster geometry above must actually take the banded branch
+    (fits=True for every scene block) — probe the bound math directly."""
+    hf = wf = 16
+    specs = _specs(image_size=(64, 64))
+    rng = np.random.RandomState(1)
+    xyz = rng.randn(B * N, 3).astype(np.float32) * 0.1
+    xyz[::17] *= 40.0
+    root = np.asarray([0.02, -0.01, 0.55], np.float32)
+    s2 = 2.0 / specs.sdf_scale_factor
+    cam_f = 80.0
+    xyz_cam = xyz.reshape(B, N, 3) * s2 + root
+    xi = cam_f * xyz_cam[..., 0] / xyz_cam[..., 2] + 32.0
+    yi = cam_f * xyz_cam[..., 1] / xyz_cam[..., 2] + 32.0
+    inside = (xi >= 0) & (xi <= 64) & (yi >= 0) & (yi <= 64)
+    yp = (yi / 64.0) * (hf - 1)
+    block, band = 48, hf // 2
+    spans = []
+    for b_ in range(B):
+        order = np.argsort(np.where(inside[b_], yp[b_], 1e9))
+        ys = np.where(inside[b_], yp[b_], 1e9)[order]
+        for k in range(N // block):
+            blk = ys[k * block:(k + 1) * block]
+            blk = blk[blk < 1e8]
+            if len(blk):
+                spans.append(np.floor(blk.max()) + 2 - (np.floor(blk.min()) - 1))
+    assert spans and max(spans) < band, (max(spans), band)
+
+
 def test_train_step_with_pixel_decoder():
     """Integration: the full train step with the pixel decoder override runs,
     reduces the loss, and matches the XLA train step's loss exactly when
