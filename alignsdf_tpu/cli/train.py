@@ -113,6 +113,13 @@ def main(argv: Optional[list] = None) -> None:
                              "ClampingDistance band has a bit-frozen sdf "
                              "loss; the guard re-draws the init seed until "
                              "healthy — see BASELINE.md round 4)")
+    parser.add_argument("--pixel_band", dest="pixel_band",
+                        action="store_true", default=False,
+                        help="banded pixel train kernel + the loader's "
+                             "per-scene row ordering for pixel-align "
+                             "configs (ops/decoder_train_pixel "
+                             "band/presorted) — measured ~neutral on the "
+                             "bench, see BASELINE.md r5")
     parser.add_argument("--multistep", type=int, default=1,
                         help="chain N train steps per device dispatch "
                              "(lax.scan over a stacked batch; hides host "
@@ -195,6 +202,7 @@ def main(argv: Optional[list] = None) -> None:
     if use_fused is None:
         use_fused = jax.default_backend() not in ("cpu",)
     decoder_override = None
+    pixel_band = False
     if use_fused:
         from alignsdf_tpu.ops.decoder_train_kernel import (
             make_fused_train_decoder,
@@ -204,9 +212,20 @@ def main(argv: Optional[list] = None) -> None:
             make_fused_train_decoder_pixel,
         )
 
-        decoder_override = (make_fused_train_decoder_pixel(specs)
-                            or make_fused_train_decoder_factored(specs)
-                            or make_fused_train_decoder(specs))
+        # pixel configs: banded sampling contraction with host-side row
+        # ordering (the loader sorts each scene by approximate feature
+        # row; the kernel's runtime fits check falls back to the full
+        # contraction whenever the order is stale).  --no_pixel_band
+        # opts out (exact legacy kernel, positional masks)
+        pixel_band = specs.pixel_align and getattr(args, "pixel_band", False)
+        if pixel_band:
+            decoder_override = make_fused_train_decoder_pixel(
+                specs, band="auto", presorted=True)
+            pixel_band = decoder_override is not None
+        if decoder_override is None:
+            decoder_override = (make_fused_train_decoder_pixel(specs)
+                                or make_fused_train_decoder_factored(specs)
+                                or make_fused_train_decoder(specs))
         if decoder_override is None:
             logger.warning("decoder structure unsupported by the fused train "
                            "kernel; using the XLA decoder")
@@ -218,9 +237,20 @@ def main(argv: Optional[list] = None) -> None:
             logger.info("using the fused Pallas train decoder (%s)", kind)
     train_step = make_train_step(model, specs, optimizer, decoder_override)
     replicate = NamedSharding(mesh, P())
+    batch_sh = batch_shardings(mesh)
+    sort_batch = None
+    if pixel_band:
+        from alignsdf_tpu.data.pixel_sort import pixel_row_sort_batch
+
+        def sort_batch(b):
+            return pixel_row_sort_batch(
+                b, float(specs.image_size[0]), specs.sdf_scale_factor,
+                feat_rows=specs.image_size[0] // 4)
+
+        batch_sh["point_is_hand"] = NamedSharding(mesh, P("data"))
     step_jit = jax.jit(
         train_step,
-        in_shardings=(replicate, batch_shardings(mesh) | {}, replicate),
+        in_shardings=(replicate, dict(batch_sh), replicate),
         donate_argnums=(0,),
     )
     multi_jit = None
@@ -228,7 +258,7 @@ def main(argv: Optional[list] = None) -> None:
         from alignsdf_tpu.training.train_step import make_multi_step
 
         stacked = {f: NamedSharding(mesh, P(None, "data"))
-                   for f in batch_shardings(mesh)}
+                   for f in batch_sh}
         multi_jit = jax.jit(
             make_multi_step(train_step, args.multistep),
             in_shardings=(replicate, stacked, replicate),
@@ -240,6 +270,8 @@ def main(argv: Optional[list] = None) -> None:
         from alignsdf_tpu.data.synthetic import synthetic_train_batch
 
         batch = synthetic_train_batch(specs, batch_size=max(2, n_dev))
+        if sort_batch is not None:
+            batch = sort_batch(batch)
         for step in range(2):
             state = state.replace(epoch=jnp.asarray(1, jnp.int32))
             state, losses = step_jit(state, batch, jax.random.fold_in(rng, step))
@@ -265,8 +297,10 @@ def main(argv: Optional[list] = None) -> None:
         seed=specs.random_seed or 0,
         num_shards=jax.process_count(),
         shard=jax.process_index(),
-        to_batch=lambda stacked: to_train_batch(specs, stacked),
-        sharding=batch_shardings(mesh),
+        to_batch=(lambda stacked: sort_batch(to_train_batch(specs, stacked)))
+        if sort_batch is not None
+        else (lambda stacked: to_train_batch(specs, stacked)),
+        sharding=dict(batch_sh),
         worker_mode=args.loader_mode,
     )
 

@@ -284,7 +284,7 @@ def _fwd_kernel(static: PixelStatic, trunks_def, seed_ref, rlo_ref, pix_ref,
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
 def fused_pixel_decoder(static: PixelStatic, trunks, fe, mean8, pix, emb,
-                        rlo, seed):
+                        rlo, fits, seed):
     """Both trunks fused with in-kernel pixel-aligned latents.
 
     trunks: (hand PixelTrunk, obj PixelTrunk | None);
@@ -299,13 +299,18 @@ def fused_pixel_decoder(static: PixelStatic, trunks, fe, mean8, pix, emb,
           mode, static.band set; the caller sorts each scene's points by
           yp so every block's taps fit its band — see make decode()).
           Ignored when static.band is None.
+    fits: () bool — True when every block's row span fits static.band; the
+          kernels cond to the full contraction otherwise.  The cond lives
+          INSIDE this custom_vjp, around each pallas_call with an identical
+          operand list (the full kernel ignores rlo), so no residual or
+          cast is ever duplicated across cond branches.
     Returns (y (8, M) f32 LANES-MAJOR — row 0 hand sdf, row 1 obj —, x_last
     (M, h) f32); row slices of the dense-lane (8, M) form are free where the
     (M, 8) form made XLA materialize ~2 ms/step of 8-lane pad/copy glue per
     trunk for the y slice and dy cotangent (BASELINE.md round 4).
     """
     (y, x_last), _ = _fused_pixel_fwd(static, trunks, fe, mean8, pix, emb,
-                                      rlo, seed)
+                                      rlo, fits, seed)
     return y, x_last
 
 
@@ -328,7 +333,7 @@ def _pix_unblocks(pix3: jax.Array) -> jax.Array:
 
 
 def _fused_pixel_fwd(static: PixelStatic, trunks, fe, mean8, pix, emb, rlo,
-                     seed):
+                     fits, seed):
     m = emb.shape[0]
     block, bps = static.block, static.bps
     assert m % block == 0, (m, block)
@@ -384,31 +389,42 @@ def _fused_pixel_fwd(static: PixelStatic, trunks, fe, mean8, pix, emb, rlo,
                                   memory_space=pltpu.VMEM))
 
     rlo_arr = jnp.asarray(rlo, jnp.int32).reshape(m // block)
-    outs = pl.pallas_call(
-        partial(_fwd_kernel, static, trunks_k),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),                 # seed
-            pl.BlockSpec(memory_space=pltpu.SMEM),                 # rlo
-            # Mosaic requires the block's lane dim to be 128-divisible OR
-            # equal to the array's: a (n_blocks, 8, block) layout makes the
-            # per-block pix tile exactly one leading-index slice
-            pl.BlockSpec((1, 8, block), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),                 # pix
-            pl.BlockSpec((block, emb.shape[1]), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),                 # emb
-            pl.BlockSpec((hw, c_pad), lambda i: (i // bps, 0),
-                         memory_space=pltpu.VMEM),                 # feT band
-            pl.BlockSpec((1, 8, c_pad), lambda i: (i // bps, 0, 0),
-                         memory_space=pltpu.VMEM),                 # mean8
-            *[_rep_spec(op) for op in ops],
-        ],
-        out_specs=out_specs,
-        out_shape=out_shapes,
-        interpret=static.interpret,
-        **_vmem_kwargs(static.interpret),
-    )(seed_arr, rlo_arr, _pix_blocks(pix, block), emb.astype(dt), fe_k,
-      mean_k, *ops)
+
+    def call(static_v):
+        return pl.pallas_call(
+            partial(_fwd_kernel, static_v, trunks_k),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),             # seed
+                pl.BlockSpec(memory_space=pltpu.SMEM),             # rlo
+                # Mosaic requires the block's lane dim to be 128-divisible
+                # OR equal to the array's: a (n_blocks, 8, block) layout
+                # makes the per-block pix tile one leading-index slice
+                pl.BlockSpec((1, 8, block), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),             # pix
+                pl.BlockSpec((block, emb.shape[1]), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),             # emb
+                pl.BlockSpec((hw, c_pad), lambda i: (i // bps, 0),
+                             memory_space=pltpu.VMEM),             # feT band
+                pl.BlockSpec((1, 8, c_pad), lambda i: (i // bps, 0, 0),
+                             memory_space=pltpu.VMEM),             # mean8
+                *[_rep_spec(op) for op in ops],
+            ],
+            out_specs=out_specs,
+            out_shape=out_shapes,
+            interpret=static_v.interpret,
+            **_vmem_kwargs(static_v.interpret),
+        )(seed_arr, rlo_arr, _pix_blocks(pix, block), emb.astype(dt), fe_k,
+          mean_k, *ops)
+
+    if static.band is not None:
+        # cond INSIDE the vjp: both branches share the exact operand list
+        # (the full kernel ignores rlo), so nothing is duplicated or
+        # copied across the conditional boundary
+        outs = jax.lax.cond(fits, lambda: call(static),
+                            lambda: call(static._replace(band=None)))
+    else:
+        outs = call(static)
 
     y3 = outs[0]
     i = 1
@@ -419,7 +435,7 @@ def _fused_pixel_fwd(static: PixelStatic, trunks, fe, mean8, pix, emb, rlo,
     a_list = tuple(outs[i:i + n_res])
     lat_res = outs[i + n_res]
     res = (trunks_k, fe_k, mean_k, pix, emb.astype(dt), a_list, lat_res, y3,
-           rlo_arr, seed_arr)
+           rlo_arr, fits, seed_arr)
     return (_lm_unblocks(y3), x_last), res
 
 
@@ -629,7 +645,7 @@ def _bwd_kernel(static: PixelStatic, trunks_def, seed_ref, rlo_ref, pix_ref,
 
 
 def _fused_pixel_bwd(static: PixelStatic, res, cots):
-    (trunks_k, fe, mean_k, pix, emb, a_list, lat_res, y3, rlo_arr,
+    (trunks_k, fe, mean_k, pix, emb, a_list, lat_res, y3, rlo_arr, fits,
      seed_arr) = res
     dy_lm, dx_last = cots   # dy arrives lanes-major (8, M), dense lanes
     m = emb.shape[0]
@@ -725,15 +741,22 @@ def _fused_pixel_bwd(static: PixelStatic, res, cots):
     in_specs.append(blk_spec(c_pad))                             # lat
     operands.append(lat_res)
 
-    outs = pl.pallas_call(
-        partial(_bwd_kernel, static, trunks_k),
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shapes,
-        interpret=static.interpret,
-        **_vmem_kwargs(static.interpret),
-    )(*operands)
+    def call(static_v):
+        return pl.pallas_call(
+            partial(_bwd_kernel, static_v, trunks_k),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shapes,
+            interpret=static_v.interpret,
+            **_vmem_kwargs(static_v.interpret),
+        )(*operands)
+
+    if static.band is not None:
+        outs = jax.lax.cond(fits, lambda: call(static),
+                            lambda: call(static._replace(band=None)))
+    else:
+        outs = call(static)
 
     dfe, dmean = outs[0], outs[1]
     dpix, demb = _pix_unblocks(outs[2]), outs[3]
@@ -753,7 +776,7 @@ def _fused_pixel_bwd(static: PixelStatic, res, cots):
     d_obj = None
     if static.has_obj:
         d_obj = unpack_d(outs[4 + n_dh:], trunks_k[1])
-    return (d_hand, d_obj), dfe, dmean, dpix, demb, None, None
+    return (d_hand, d_obj), dfe, dmean, dpix, demb, None, None, None
 
 
 fused_pixel_decoder.defvjp(_fused_pixel_fwd, _fused_pixel_bwd)
@@ -762,7 +785,8 @@ fused_pixel_decoder.defvjp(_fused_pixel_fwd, _fused_pixel_bwd)
 def make_fused_train_decoder_pixel(specs: Specs,
                                    interpret: Optional[bool] = None,
                                    block_cap: int = 2000,
-                                   band=None):
+                                   band=None,
+                                   presorted: bool = False):
     # block_cap 2000 for the UNBANDED kernel: with the feature map as a
     # separate operand (no extended-table build) bps=1 measured best — no
     # per-scene dfe window revisits (r5 sweep: block 2000 -> 1,715 samples/s
@@ -795,10 +819,22 @@ def make_fused_train_decoder_pixel(specs: Specs,
     gathers on 8/16-lane rows run at ~1 GB/s effective (~7 ms/step of
     gather/scatter fusions for pix/emb/y and their VJP transposes; the
     sorts themselves are ~0.4 ms).  Net b64 1,678 -> 1,394 samples/s.
-    The winning variant would move the sort into the HOST loader (per
-    scene-half, keeping positional hand/obj masks valid) so no device
-    permutation exists; kept as future work.  "auto" = Hf//2 for maps of
-    16+ rows; None (default) = the exact legacy kernel, no sort.
+    ``presorted=True`` (with ``band``) removes the device permutation: the
+    HOST loader already ordered each scene by approximate projected row
+    (data/pixel_sort.pixel_row_sort_batch, whole-scene; an explicit
+    point_is_hand column replaces the positional masks), so decode() skips
+    the device sort/gathers entirely — the exact per-block bounds and the
+    runtime fits fallback still come from the actual pix array, so a wrong
+    or missing host sort only costs speed, never correctness.  Measured
+    ~NEUTRAL end-to-end (r5): the banded kernels beat full-at-block-400 by
+    ~2.5 ms/step (xplane: bwd 9.5 -> 7.8, fwd 4.6 -> 3.9 at b64), but
+    banding needs bps > 1 while the unbanded default runs block 2000
+    (bps=1, ~1.2 ms faster than block 400), the fits cond adds ~0.5 ms,
+    and an UNTRAINED model's per-step root drift defeats the host sort
+    (boundary-margin sorting fixes classification flips; large root error
+    still falls back).  Kept as a certified lever.
+    "auto" = Hf//2 for maps of 16+ rows; None (default) = the exact
+    legacy kernel, no banding.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -921,15 +957,22 @@ def make_fused_train_decoder_pixel(specs: Specs,
         if band_i is not None:
             big = jnp.float32(1e9)
             key = jnp.where(valid, yp, big)               # (B, N)
-            order = jnp.argsort(key, axis=1)              # stable
-            perm = (order
-                    + (jnp.arange(b, dtype=order.dtype) * n)[:, None]
-                    ).reshape(m)
-            inv = jnp.argsort(perm)
-            pix = pix[:, perm]
-            emb_in = emb_in[perm]
-            ks = jnp.take_along_axis(key, order, axis=1).reshape(
-                m // block, block)
+            if presorted:
+                # the host loader already ordered each scene-half by
+                # (approximate) row — bounds come straight off the blocks;
+                # the fits cond below still guarantees correctness if the
+                # host order is stale or absent
+                ks = key.reshape(m // block, block)
+            else:
+                order = jnp.argsort(key, axis=1)          # stable
+                perm = (order
+                        + (jnp.arange(b, dtype=order.dtype) * n)[:, None]
+                        ).reshape(m)
+                inv = jnp.argsort(perm)
+                pix = pix[:, perm]
+                emb_in = emb_in[perm]
+                ks = jnp.take_along_axis(key, order, axis=1).reshape(
+                    m // block, block)
             kvalid = ks < big
             lo = jnp.min(jnp.where(kvalid, ks, big), axis=1)
             hi = jnp.max(jnp.where(kvalid, ks, -big), axis=1)
@@ -964,22 +1007,14 @@ def make_fused_train_decoder_pixel(specs: Specs,
             specs.compute_dtype, bool(train), interpret, bool(need_cls),
             bps, hf, wf, combined, not combined)
         if band_i is None:
-            rlo0 = jnp.zeros((m // block,), jnp.int32)
-            y, x_last = fused_pixel_decoder(static, trunks, fe, mean8, pix,
-                                            emb_in, rlo0, seed)
+            rlo = jnp.zeros((m // block,), jnp.int32)
+            fits = jnp.asarray(False)
         else:
-            static_b = static._replace(band=band_i)
-
-            def call_banded():
-                return fused_pixel_decoder(static_b, trunks, fe, mean8, pix,
-                                           emb_in, rlo, seed)
-
-            def call_full():
-                return fused_pixel_decoder(static, trunks, fe, mean8, pix,
-                                           emb_in, rlo, seed)
-
-            y, x_last = jax.lax.cond(fits, call_banded, call_full)
-            # undo the per-scene sort on everything that leaves the kernel
+            static = static._replace(band=band_i)
+        y, x_last = fused_pixel_decoder(static, trunks, fe, mean8, pix,
+                                        emb_in, rlo, fits, seed)
+        if band_i is not None and not presorted:
+            # undo the per-scene sort on everything leaving the kernel
             y = y[:, inv]
             x_last = x_last[inv]
         logits = classifier_apply(trunk_params, x_last) if need_cls else None

@@ -26,22 +26,33 @@ from alignsdf_tpu.training.train_state import (
 )
 
 
-def build_batch_masks(specs: Specs, batch_size: int, additional_active) -> Tuple:
+def build_batch_masks(specs: Specs, batch_size: int, additional_active,
+                      is_hand=None) -> Tuple:
     """Per-point hand/obj loss masks (reference train.py:467-487).
 
     Sample layout along the point axis is [hand-half | obj-half] per scene.
     Before AdditionalLossStart (or with ignore_other), each branch only sees
     its own points; after, hand loss covers all points and obj loss covers all.
+
+    ``is_hand``: optional (B*N,) per-point hand indicator replacing the
+    positional layout — emitted by the loader when it reorders points for
+    the banded pixel kernel (data/pixel_sort.pixel_row_sort_batch).
     """
     n = specs.samples_per_scene
     half = n // 2
     total = batch_size * n
 
     if specs.hand_branch and specs.obj_branch:
-        per_scene_hand = jnp.concatenate([jnp.ones(half), jnp.zeros(n - half)])
-        early_hand = jnp.tile(per_scene_hand, batch_size).reshape(total, 1)
-        per_scene_obj = jnp.concatenate([jnp.zeros(half), jnp.ones(n - half)])
-        early_obj = jnp.tile(per_scene_obj, batch_size).reshape(total, 1)
+        if is_hand is not None:
+            early_hand = is_hand.reshape(total, 1).astype(jnp.float32)
+            early_obj = 1.0 - early_hand
+        else:
+            per_scene_hand = jnp.concatenate(
+                [jnp.ones(half), jnp.zeros(n - half)])
+            early_hand = jnp.tile(per_scene_hand, batch_size).reshape(total, 1)
+            per_scene_obj = jnp.concatenate(
+                [jnp.zeros(half), jnp.ones(n - half)])
+            early_obj = jnp.tile(per_scene_obj, batch_size).reshape(total, 1)
         ones = jnp.ones((total, 1))
         if specs.ignore_point_from_other_mesh:
             return early_hand, early_obj
@@ -66,7 +77,8 @@ def make_train_step(model: AlignSDF, specs: Specs,
     def train_step(state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array):
         additional_active = (state.epoch >= specs.additional_loss_start).astype(jnp.float32)
         batch_size = batch["image"].shape[0]
-        mask_hand, mask_obj = build_batch_masks(specs, batch_size, additional_active)
+        mask_hand, mask_obj = build_batch_masks(
+            specs, batch_size, additional_active, batch.get("point_is_hand"))
 
         loss_batch = dict(batch)
         loss_batch["mask_hand"] = mask_hand

@@ -69,6 +69,7 @@ def bench_train():
     rng = jax.random.PRNGKey(0)
     state = init_train_state(model, specs, rng, opt)
     decoder_override = None
+    use_band = False
     if "--fused-decoder" in sys.argv:
         from alignsdf_tpu.ops.decoder_train_kernel import (
             make_fused_train_decoder,
@@ -78,8 +79,19 @@ def bench_train():
             make_fused_train_decoder_pixel,
         )
 
+        # banded pixel train kernel with host-side row ordering (--band):
+        # measured ~neutral end-to-end (BASELINE.md r5 — the banded kernels
+        # save ~2.5 ms/step over full-at-block-400 but block 400 + the
+        # fits cond give most of it back vs the default block-2000 kernel,
+        # and an untrained model's drifting root defeats the host sort),
+        # kept as a certified lever
+        use_band = specs.pixel_align and "--band" in sys.argv
         if "--no-factored" in sys.argv:
+            use_band = False
             decoder_override = make_fused_train_decoder(specs)
+        elif use_band:
+            decoder_override = make_fused_train_decoder_pixel(
+                specs, band="auto", presorted=True)
         else:
             decoder_override = (make_fused_train_decoder_pixel(specs)
                                 or make_fused_train_decoder_factored(specs)
@@ -91,7 +103,37 @@ def bench_train():
     for a in sys.argv:
         if a.startswith("--multistep="):
             ms = int(a.split("=")[1])
-    batch = {k: jnp.asarray(v) for k, v in synthetic_train_batch(specs, batch_size=b).items()}
+    batch_np = synthetic_train_batch(specs, batch_size=b)
+    if "--fused-decoder" in sys.argv and use_band:
+        from alignsdf_tpu.data.pixel_sort import pixel_row_sort_batch
+
+        # the loader sorts by its best root estimate; in production (GT
+        # root ~= a trained model's predicted root) the bands fit.  The
+        # bench model is UNTRAINED, so sorting by the GT root would fail
+        # the runtime fits check against the model's far-off predicted
+        # root and time only the fallback — emulate steady state by
+        # sorting with the model's own predicted root
+        cond_in = {
+            "cam_intr": jnp.asarray(batch_np["cam_intr"]),
+            "mano_root": jnp.asarray(batch_np["mano_root"]),
+            "rest_obj_corners": jnp.asarray(batch_np["rest_obj_corners"]),
+        }
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        if state.consts:
+            variables["consts"] = state.consts
+        _, _, mano_res, _ = model.apply(
+            variables, jnp.asarray(batch_np["image"]),
+            jnp.asarray(batch_np["xyz"]), cond_in, train=False,
+            method=model.decoder_inputs_pixel)
+        sb = dict(batch_np)
+        sb["mano_root"] = np.asarray(mano_res["joints"][:, 0])
+        sb = pixel_row_sort_batch(sb, float(specs.image_size[0]),
+                                  specs.sdf_scale_factor,
+                                  feat_rows=specs.image_size[0] // 4)
+        sb["mano_root"] = batch_np["mano_root"]
+        batch_np = sb
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
     # the production loader ships uint8 images normalized on device
     # (data/loader.py raw_image=True path); feed the bench the same way
     batch["image"] = jnp.asarray(

@@ -328,6 +328,123 @@ def test_banded_fits_is_nonvacuous():
     assert spans and max(spans) < band, (max(spans), band)
 
 
+def test_host_sorted_presorted_band_matches_xla():
+    """The production banding pipeline: the HOST orders each scene-half by
+    approximate projected row (data/pixel_sort), the kernel runs with
+    band=...,presorted=True (no device sort/permutation).  Forward and
+    gradients must match XLA autodiff on the SAME sorted inputs; the sorted
+    geometry must actually fit the band (non-vacuous); per-point columns
+    must travel with their points through the host sort."""
+    from alignsdf_tpu.data.pixel_sort import (
+        pixel_row_order,
+        pixel_row_sort_batch,
+    )
+
+    hf = wf = 16
+    specs = _specs(image_size=(64, 64))
+    dec = make_decoder(specs.model_type, specs.latent_size,
+                       specs.point_feat_size, specs.encode_style, NS,
+                       specs.classifier_branch)
+    rng = np.random.RandomState(2)
+    params = dec.init(jax.random.PRNGKey(0), jnp.zeros((8, LS + 9)))["params"]
+    fmap = jnp.asarray(rng.randn(B, hf, wf, LS).astype(np.float32) * 0.5)
+    cam = np.zeros((B, 3, 4), np.float32)
+    cam[:, 0, 0] = cam[:, 1, 1] = 80.0
+    cam[:, 0, 2] = cam[:, 1, 2] = 32.0
+    cam[:, 2, 2] = 1.0
+    root = np.tile(np.asarray([0.02, -0.01, 0.55], np.float32), (B, 1))
+
+    # tight cluster + a few out-of-image points, as a loader batch
+    xyz_np = rng.randn(B * N, 3).astype(np.float32) * 0.1
+    xyz_np[::17] *= 40.0
+    batch = {
+        "xyz": xyz_np,
+        "sdf_gt_hand": xyz_np[:, :1].copy(),    # sentinel: must follow xyz
+        "sdf_gt_obj": xyz_np[:, 1:2].copy(),
+        "labels": np.arange(B * N, dtype=np.int32),
+        "cam_intr": cam,
+        "mano_root": root,
+    }
+    sb = pixel_row_sort_batch(batch, 64.0, specs.sdf_scale_factor,
+                              feat_rows=hf)
+    # columns traveled with their points; scenes never mix; the explicit
+    # hand indicator replaces the positional halves
+    assert np.array_equal(sb["sdf_gt_hand"][:, 0], sb["xyz"][:, 0])
+    assert np.array_equal(sb["sdf_gt_obj"][:, 0], sb["xyz"][:, 1])
+    half = N // 2
+    for s in range(B):
+        lab = sb["labels"][s * N:(s + 1) * N]
+        assert set(lab) == set(range(s * N, (s + 1) * N))
+        hand_pts = sb["point_is_hand"][s * N:(s + 1) * N] > 0.5
+        assert hand_pts.sum() == half
+        # indicator marks exactly the points that came from the hand half
+        assert set(lab[hand_pts]) == set(range(s * N, s * N + half))
+
+    # in-image points sorted ascending by approximate row
+    p0 = pixel_row_order(xyz_np[:N], cam[0], root[0], 64.0,
+                         specs.sdf_scale_factor, hf)
+    assert np.array_equal(np.sort(p0), np.arange(N))
+
+    # is_hand-driven masks == positional masks, permuted identically
+    from alignsdf_tpu.training.train_step import build_batch_masks
+
+    mh_pos, mo_pos = build_batch_masks(specs, B, 0.0)
+    mh_ind, mo_ind = build_batch_masks(
+        specs, B, 0.0, jnp.asarray(sb["point_is_hand"]))
+    perm_full = np.concatenate(
+        [s * N + pixel_row_order(xyz_np[s * N:(s + 1) * N], cam[s], root[s],
+                                 64.0, specs.sdf_scale_factor, hf)
+         for s in range(B)])
+    np.testing.assert_array_equal(np.asarray(mh_pos)[perm_full],
+                                  np.asarray(mh_ind))
+    np.testing.assert_array_equal(np.asarray(mo_pos)[perm_full],
+                                  np.asarray(mo_ind))
+
+    emb = jnp.asarray(rng.randn(B * N, 9).astype(np.float32) * 0.5)
+    xyz_s = jnp.asarray(sb["xyz"])
+    cam_j = jnp.asarray(cam)
+    root_j = jnp.asarray(root.reshape(B, 1, 3))
+
+    fused = make_fused_train_decoder_pixel(specs, interpret=True,
+                                           block_cap=48, band=12,
+                                           presorted=True)
+
+    def loss_fused(p, fm, e, r):
+        h, o, c = fused(p, fm, e, xyz_s, cam_j, r, jnp.int32(3), train=False)
+        return (jnp.sum(jnp.sin(h)) + jnp.sum(o ** 2)
+                + 0.01 * jnp.sum(c ** 2))
+
+    def loss_xla(p, fm, e, r):
+        h, o, c = _xla_pixel_forward(specs, dec, p, fm, e, xyz_s, cam_j, r)
+        return (jnp.sum(jnp.sin(h)) + jnp.sum(o ** 2)
+                + 0.01 * jnp.sum(c ** 2))
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(params, fmap, emb, root_j)
+    g2 = jax.grad(loss_xla, argnums=(0, 1, 2, 3))(params, fmap, emb, root_j)
+    for a, bb in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        scale = float(jnp.abs(bb).max()) + 1e-8
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(bb) / scale, atol=2e-5)
+
+    # non-vacuous: the sorted blocks really fit the band (replicate bounds)
+    s2 = 2.0 / specs.sdf_scale_factor
+    xyz_cam = np.asarray(sb["xyz"]).reshape(B, N, 3) * s2 + \
+        root.reshape(B, 1, 3)
+    xi = 80.0 * xyz_cam[..., 0] / xyz_cam[..., 2] + 32.0
+    yi = 80.0 * xyz_cam[..., 1] / xyz_cam[..., 2] + 32.0
+    inside = (xi >= 0) & (xi <= 64) & (yi >= 0) & (yi <= 64)
+    yp = (yi / 64.0) * (hf - 1)
+    block, band = 48, 12
+    for s in range(B):
+        key = np.where(inside[s], yp[s], 1e9)
+        for k in range(N // block):
+            blk = key[k * block:(k + 1) * block]
+            blk = blk[blk < 1e8]
+            if len(blk):
+                span = np.floor(blk.max()) + 2 - (np.floor(blk.min()) - 1) + 1
+                assert span <= band, (s, k, span)
+
+
 def test_train_step_with_pixel_decoder():
     """Integration: the full train step with the pixel decoder override runs,
     reduces the loss, and matches the XLA train step's loss exactly when

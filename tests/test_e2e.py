@@ -98,6 +98,55 @@ def test_train_cli_multistep(tmp_path):
     assert steps and all(np.isfinite(s["total"]) for s in steps)
 
 
+def test_train_cli_pixel_band(tmp_path):
+    """cli/train --pixel_band wiring: the loader's per-scene row ordering
+    (data/pixel_sort) runs inside the workers, the batch carries
+    point_is_hand, the jitted step consumes it for the loss masks, and the
+    presorted banded decoder is constructed (band engages only for feature
+    maps of 16+ rows with bps>1 — at these smoke shapes the decode
+    legitimately resolves to the full kernel, so this covers the wiring,
+    not the banding; kernel-level banding is covered in
+    test_decoder_train_pixel and the multichip dryrun)."""
+    data_root = tmp_path / "data"
+    keys = [f"{i:08d}" for i in range(16)]
+    write_synthetic_dataset(str(data_root), keys, n_points=200, image_hw=64,
+                            split="train")
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import create_lmdb
+
+    create_lmdb.create_lmdbs(os.path.join(str(data_root), "obman", "train"),
+                             "obman", "train", keys)
+    spec = dict(SPEC)
+    # latent 256 = the HeadNet channel count (pixel-align configs pin it);
+    # hidden dims must exceed latent+embed for the latent_in re-injection
+    spec.update(DataSource=str(data_root), SamplesPerScene=16,
+                ScenesPerBatch=8, NumEpochs=1, PixelAlign=True,
+                EncodeStyle="both", PointFeatSize=9, LatentSize=256,
+                ObjectPoseBranch=True,
+                NetworkSpecs=dict(SPEC["NetworkSpecs"],
+                                  dims=[288, 288, 288, 288]))
+    split_path = tmp_path / "split.json"
+    with open(split_path, "w") as f:
+        json.dump({"train": keys}, f)
+    spec["TrainSplit"] = str(split_path)
+    spec_path = tmp_path / "spec.json"
+    with open(spec_path, "w") as f:
+        json.dump(spec, f)
+
+    from alignsdf_tpu.cli.train import main as train_main
+
+    out_root = tmp_path / "out"
+    train_main(["-e", str(spec_path), "--output_root", str(out_root),
+                "--pixel_band", "--fused_decoder", "--skip_test",
+                "--no_init_guard"])
+    exp_dir = os.path.join(out_root, os.listdir(out_root)[0])
+    with open(os.path.join(exp_dir, "metrics.jsonl")) as f:
+        steps = [json.loads(line) for line in f if '"step"' in line]
+    assert steps and all(np.isfinite(s["total"]) for s in steps)
+
+
 def test_train_reconstruct_evaluate(tmp_path):
     data_root = tmp_path / "data"
     keys = [f"{i:08d}" for i in range(16)]
